@@ -1,0 +1,28 @@
+"""Test configuration: run on CPU with 8 virtual devices.
+
+Mirrors the reference's test strategy (SURVEY.md §4) but on a simulated
+device mesh: kernels are validated against numpy oracles; sharding tests use
+an 8-way virtual CPU mesh.  Must run before the first ``import jax``.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# In some environments a sitecustomize imports jax at interpreter startup
+# (before this conftest runs), freezing jax_platforms from the original env.
+# Update the live config so tests really run on the virtual-CPU mesh.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
