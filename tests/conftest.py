@@ -15,12 +15,19 @@ if "xla_force_host_platform_device_count" not in _flags:
 # In some environments a sitecustomize imports jax at interpreter startup
 # (before this conftest runs), freezing jax_platforms from the original env.
 # Update the live config so tests really run on the virtual-CPU mesh.
+import sys
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# 64-bit element support (LONGLONG/ULONGLONG dtypes) requires x64 mode.
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 import pytest
+
+# Make tests/oracles importable as `oracles.*`.
+sys.path.insert(0, os.path.dirname(__file__))
 
 
 @pytest.fixture

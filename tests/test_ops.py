@@ -1,0 +1,158 @@
+"""Stage-primitive tests vs sequential numpy oracles.
+
+Mirrors the reference unit tier (src/test/BitPackGPU_test.cpp,
+RunLengthEncodeGPU_test.cpp, DeltaGPU_test.cpp): every dtype, every bit
+width, adversarial run profiles.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpucomp.ops import bitpack as bp
+from tpucomp.ops import delta as dl
+from tpucomp.ops import rle as rl
+
+from oracles.cascaded_oracle import (
+    bitpack_oracle,
+    bitunpack_oracle,
+    delta_decode_oracle,
+    delta_encode_oracle,
+    for_bitwidth_oracle,
+    rle_decode_oracle,
+    rle_encode_oracle,
+)
+
+DTYPES = [np.uint8, np.int8, np.uint16, np.int16, np.uint32, np.int32, np.uint64, np.int64]
+
+
+def _unsigned(dtype):
+    d = np.dtype(dtype)
+    return np.dtype(f"u{d.itemsize}") if d.kind == "i" else d
+
+
+def _rand_elems(rng, dtype, n, profile):
+    d = np.dtype(dtype)
+    if profile == "runs":
+        vals = rng.integers(0, 5, size=n)
+        x = np.repeat(vals, rng.integers(1, 9, size=n))[:n].astype(d)
+    elif profile == "small_range":
+        x = (rng.integers(100, 131, size=n)).astype(d)
+    elif profile == "full_range":
+        nbytes = n * d.itemsize
+        x = rng.integers(0, 256, size=nbytes, dtype=np.uint8).view(d)
+    elif profile == "constant":
+        x = np.full(n, 42, dtype=d)
+    elif profile == "ramp":
+        x = (np.arange(n) * 3 + 7).astype(d)
+    return x
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+@pytest.mark.parametrize("profile", ["runs", "small_range", "full_range", "constant", "ramp"])
+def test_bitpack_matches_oracle(rng, dtype, profile):
+    e = 256
+    for n in [1, 2, 37, e]:
+        x = _rand_elems(rng, dtype, n, profile)
+        u = x.view(_unsigned(dtype))
+        xe = np.zeros(e, _unsigned(dtype))
+        xe[:n] = u
+        width = np.dtype(dtype).itemsize
+        max_words = e * width // 4 + 1
+
+        blob, size = bp.bitpack(jnp.asarray(xe), jnp.int32(n), max_words)
+        blob_np = np.asarray(blob)[: int(size)]
+        expected = bitpack_oracle(u[:n])
+        assert blob_np.tobytes() == expected, f"n={n}"
+
+        # round-trip through our unpacker and the oracle's
+        out, n_out, _ = bp.bitunpack(jnp.asarray(np.frombuffer(expected, np.uint8)), e, width)
+        assert int(n_out) == n
+        np.testing.assert_array_equal(np.asarray(out)[:n], u[:n])
+        np.testing.assert_array_equal(bitunpack_oracle(blob_np.tobytes(), _unsigned(dtype)), u[:n])
+
+
+@pytest.mark.parametrize("width", [1, 2, 4, 8])
+def test_bitpack_every_bitwidth(rng, width):
+    """Sweep every bitwidth 0..8*width (mirrors BitPackGPU_test.cpp:251-558)."""
+    udtype = np.dtype(f"u{width}")
+    e = 128
+    for bw in range(0, 8 * width + 1):
+        if bw == 0:
+            x = np.full(e, 7, udtype)
+        else:
+            raw = rng.integers(0, 256, size=e * 8, dtype=np.uint8).view(np.uint64)
+            if bw < 64:
+                raw = raw & np.uint64((1 << bw) - 1)
+            x = raw.astype(udtype)
+            x[0] = 0  # anchor FOR at zero so the range needs exactly bw bits
+            x[1] = udtype.type(((1 << bw) - 1) & ((1 << (8 * width)) - 1))
+        blob, size = bp.bitpack(jnp.asarray(x), jnp.int32(e), e * width // 4 + 1)
+        got = np.asarray(blob)[: int(size)].tobytes()
+        assert got == bitpack_oracle(x)
+        out, n_out, bw_got = bp.bitunpack(jnp.asarray(np.frombuffer(got, np.uint8)), e, width)
+        np.testing.assert_array_equal(np.asarray(out), x)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+@pytest.mark.parametrize("profile", ["runs", "constant", "full_range"])
+def test_rle_matches_oracle(rng, dtype, profile):
+    e = 512
+    for n in [1, 3, 100, e]:
+        x = _rand_elems(rng, dtype, n, profile)
+        u = x.view(_unsigned(dtype))
+        xe = np.zeros(e, _unsigned(dtype))
+        xe[:n] = u
+        vals, counts, num_runs = rl.rle_encode(jnp.asarray(xe), jnp.int32(n))
+        ov, oc = rle_encode_oracle(u[:n])
+        r = int(num_runs)
+        assert r == ov.size
+        np.testing.assert_array_equal(np.asarray(vals)[:r], ov)
+        np.testing.assert_array_equal(np.asarray(counts)[:r], oc)
+
+        y, total = rl.rle_decode(vals, counts, num_runs, e)
+        assert int(total) == n
+        np.testing.assert_array_equal(np.asarray(y)[:n], u[:n])
+        np.testing.assert_array_equal(rle_decode_oracle(ov, oc), u[:n])
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_delta_matches_oracle(rng, dtype):
+    e = 300
+    for n in [1, 2, 64, e]:
+        x = _rand_elems(rng, dtype, n, "full_range")
+        u = x.view(_unsigned(dtype))
+        xe = np.zeros(e, _unsigned(dtype))
+        xe[:n] = u
+        d, first, cnt = dl.delta_encode(jnp.asarray(xe), jnp.int32(n))
+        od, ofirst = delta_encode_oracle(u[:n])
+        assert int(cnt) == n - 1
+        assert np.asarray(first) == ofirst.view(_unsigned(dtype))
+        np.testing.assert_array_equal(np.asarray(d)[: n - 1], od.view(_unsigned(dtype)))
+
+        y, n_out = dl.delta_decode(d, first, cnt)
+        assert int(n_out) == n
+        np.testing.assert_array_equal(np.asarray(y)[:n], u[:n])
+        np.testing.assert_array_equal(delta_decode_oracle(od, ofirst), u[:n])
+
+
+def test_ops_vmap_and_jit(rng):
+    """Stages batch via vmap and compile under jit (the production shape)."""
+    e = 256
+    xs = rng.integers(0, 50, size=(8, e), dtype=np.uint32)
+    ns = np.array([e, 1, 17, 255, 256, 100, 2, 64], np.int32)
+
+    enc = jax.jit(jax.vmap(lambda x, n: rl.rle_encode(x, n)))
+    vals, counts, runs = enc(jnp.asarray(xs), jnp.asarray(ns))
+    dec = jax.jit(jax.vmap(lambda v, c, r: rl.rle_decode(v, c, r, e)))
+    ys, totals = dec(vals, counts, runs)
+    for b in range(8):
+        np.testing.assert_array_equal(np.asarray(ys)[b, : ns[b]], xs[b, : ns[b]])
+
+    pack = jax.jit(jax.vmap(lambda x, n: bp.bitpack(x, n, e)))
+    blobs, sizes = pack(jnp.asarray(xs), jnp.asarray(ns))
+    unpack = jax.jit(jax.vmap(lambda b: bp.bitunpack(b, e, 4)))
+    outs, n_outs, _ = unpack(blobs)
+    for b in range(8):
+        np.testing.assert_array_equal(np.asarray(outs)[b, : ns[b]], xs[b, : ns[b]])

@@ -77,6 +77,13 @@ class CascadedOpts:
             raise ValueError("num_rles must be in [0, 7]")
         if not (0 <= self.num_deltas <= 7):
             raise ValueError("num_deltas must be in [0, 7]")
+        if 0 < self.num_rles < self.num_deltas:
+            # The reference's decompression layer scheduling
+            # (src/CascadedKernels.hiph:1333-1398) only inverts its
+            # compression order (RLE before Delta within each layer,
+            # :910-980) when num_deltas <= num_RLEs or num_RLEs == 0; other
+            # combinations do not round-trip even in the reference.
+            raise ValueError("num_deltas must be <= num_rles (or num_rles == 0)")
 
     @property
     def chunk_num_elements(self) -> int:

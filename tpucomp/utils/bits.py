@@ -1,19 +1,37 @@
 """Vectorized bit-twiddling primitives shared by all codecs.
 
-Everything here is dense jnp math (VPU-friendly): no scatters, no gathers.
+Everything here is dense jnp math (VPU-friendly): no data-dependent shapes.
 Shift helpers guard the out-of-range shift amounts that XLA leaves undefined.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
+
+_UNSIGNED_OF_WIDTH = {1: jnp.uint8, 2: jnp.uint16, 4: jnp.uint32, 8: jnp.uint64}
+_SIGNED_OF_WIDTH = {1: jnp.int8, 2: jnp.int16, 4: jnp.int32, 8: jnp.int64}
+
+
+def unsigned_of_width(width: int):
+    return _UNSIGNED_OF_WIDTH[width]
+
+
+def signed_of_width(width: int):
+    return _SIGNED_OF_WIDTH[width]
+
+
+def bitcast(x, dtype):
+    """Reinterpret the bits of ``x`` as ``dtype`` (same element width)."""
+    return jax.lax.bitcast_convert_type(x, dtype)
 
 
 def shl(x, s):
     """Left shift with ``s >= bitwidth`` yielding 0 (XLA leaves it undefined)."""
     nbits = jnp.iinfo(x.dtype).bits
-    s = s.astype(x.dtype) if hasattr(s, "astype") else s
-    return jnp.where(s < nbits, x << jnp.minimum(s, nbits - 1).astype(x.dtype), x.dtype.type(0) if hasattr(x.dtype, "type") else 0)
+    s = jnp.asarray(s).astype(x.dtype)
+    return jnp.where(s < nbits, x << jnp.minimum(s, nbits - 1).astype(x.dtype), jnp.zeros_like(x))
 
 
 def shr(x, s):
@@ -22,8 +40,17 @@ def shr(x, s):
     ``x`` must be unsigned for logical semantics.
     """
     nbits = jnp.iinfo(x.dtype).bits
-    s = s.astype(x.dtype) if hasattr(s, "astype") else s
+    s = jnp.asarray(s).astype(x.dtype)
     return jnp.where(s < nbits, x >> jnp.minimum(s, nbits - 1).astype(x.dtype), jnp.zeros_like(x))
+
+
+def mask_of_bits(nbits, dtype):
+    """(1 << nbits) - 1 with nbits >= width yielding all-ones."""
+    width = jnp.iinfo(dtype).bits
+    nbits = jnp.asarray(nbits)
+    one = jnp.broadcast_to(jnp.asarray(1, dtype), nbits.shape)
+    full = ~jnp.asarray(0, dtype)
+    return jnp.where(nbits >= width, full, shl(one, nbits) - one)
 
 
 def bit_width(r):
@@ -35,7 +62,7 @@ def bit_width(r):
     nbits = jnp.iinfo(r.dtype).bits
     r = r.astype(jnp.uint64) if nbits > 32 else r.astype(jnp.uint32)
     bw = jnp.zeros(r.shape, jnp.int32)
-    shift = nbits // 2
+    shift = jnp.iinfo(r.dtype).bits // 2
     while shift:
         has_high = (r >> r.dtype.type(shift)) != 0
         bw = bw + jnp.where(has_high, shift, 0)
@@ -44,34 +71,70 @@ def bit_width(r):
     return bw + (r != 0)
 
 
+def bytes_to_units_le(b, width: int):
+    """uint8[..., k*width] -> unsigned{width*8}[..., k], little-endian."""
+    if width == 1:
+        return b.astype(jnp.uint8)
+    assert b.shape[-1] % width == 0
+    udtype = _UNSIGNED_OF_WIDTH[width]
+    g = b.reshape(*b.shape[:-1], -1, width).astype(udtype)
+    out = g[..., 0]
+    for i in range(1, width):
+        out = out | (g[..., i] << udtype(8 * i))
+    return out
+
+
+def units_to_bytes_le(u):
+    """unsigned[..., k] -> uint8[..., k*width], little-endian."""
+    width = jnp.iinfo(u.dtype).bits // 8
+    if width == 1:
+        return u.astype(jnp.uint8)
+    parts = jnp.stack(
+        [((u >> u.dtype.type(8 * i)) & u.dtype.type(0xFF)).astype(jnp.uint8) for i in range(width)],
+        axis=-1,
+    )
+    return parts.reshape(*u.shape[:-1], -1)
+
+
 def bytes_to_words_le(b):
     """uint8[..., 4*W] -> uint32[..., W], little-endian within each word."""
-    assert b.shape[-1] % 4 == 0
-    g = b.reshape(*b.shape[:-1], -1, 4).astype(jnp.uint32)
-    return g[..., 0] | (g[..., 1] << 8) | (g[..., 2] << 16) | (g[..., 3] << 24)
+    return bytes_to_units_le(b, 4)
 
 
 def words_to_bytes_le(w):
     """uint32[..., W] -> uint8[..., 4*W], little-endian within each word."""
-    w = w.astype(jnp.uint32)
-    parts = jnp.stack(
-        [w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF, (w >> 24) & 0xFF],
-        axis=-1,
-    )
-    return parts.astype(jnp.uint8).reshape(*w.shape[:-1], -1)
+    return units_to_bytes_le(w.astype(jnp.uint32))
 
 
-def words64_to_words32_le(w):
-    """uint64[..., W] -> uint32[..., 2*W], low word first."""
-    w = w.astype(jnp.uint64)
-    parts = jnp.stack(
-        [(w & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), (w >> jnp.uint64(32)).astype(jnp.uint32)],
-        axis=-1,
-    )
-    return parts.reshape(*w.shape[:-1], -1)
+def segment_positions(flags, num_segments_cap: int):
+    """Positions of set flags: out[k] = index of the k-th true in ``flags``.
+
+    Gather-only formulation (TPU-friendly): inclusive cumsum + searchsorted.
+    Entries past the number of set flags are clamped to the last position.
+    Returns (positions int32[num_segments_cap], count int32).
+    """
+    s = jnp.cumsum(flags.astype(jnp.int32))
+    count = s[-1] if flags.size else jnp.int32(0)
+    k = jnp.arange(1, num_segments_cap + 1, dtype=jnp.int32)
+    pos = jnp.searchsorted(s, k, side="left").astype(jnp.int32)
+    return jnp.minimum(pos, flags.shape[-1] - 1), count
 
 
-def words32_to_words64_le(w):
-    """uint32[..., 2*W] -> uint64[..., W], low word first."""
-    g = w.reshape(*w.shape[:-1], -1, 2).astype(jnp.uint64)
-    return g[..., 0] | (g[..., 1] << jnp.uint64(32))
+def write_section(out, src, offset, size):
+    """out[offset + i] = src[i] for i < size; dense gather/select formulation.
+
+    ``out`` and ``src`` are 1-D uint8 buffers with static shapes; ``offset``
+    and ``size`` are traced scalars.
+    """
+    t = jnp.arange(out.shape[0], dtype=jnp.int32)
+    idx = t - offset.astype(jnp.int32)
+    take = (idx >= 0) & (idx < jnp.minimum(size, src.shape[0]))
+    vals = src[jnp.clip(idx, 0, src.shape[0] - 1)]
+    return jnp.where(take, vals, out)
+
+
+def read_section(buf, offset, size: int):
+    """Return buf[offset : offset + size] (static size), zero-padded past end."""
+    t = jnp.arange(size, dtype=jnp.int32) + offset.astype(jnp.int32)
+    ok = t < buf.shape[0]
+    return jnp.where(ok, buf[jnp.clip(t, 0, buf.shape[0] - 1)], 0).astype(buf.dtype)
