@@ -77,10 +77,12 @@ def test_words_bytes_roundtrip(rng):
     )
 
 
-def test_words64_roundtrip(rng):
-    w64 = jnp.asarray(rng.integers(0, 2**63, size=(2, 4), dtype=np.uint64))
-    w32 = bits.words64_to_words32_le(w64)
-    np.testing.assert_array_equal(np.asarray(bits.words32_to_words64_le(w32)), np.asarray(w64))
+def test_units64_roundtrip(rng):
+    raw = rng.integers(0, 256, size=(2, 32), dtype=np.uint8)
+    u64 = bits.bytes_to_units_le(jnp.asarray(raw), 8)
+    assert u64.dtype == jnp.uint64 and u64.shape == (2, 4)
+    np.testing.assert_array_equal(np.asarray(u64), raw.view("<u8"))
+    np.testing.assert_array_equal(np.asarray(bits.units_to_bytes_le(u64)), raw)
 
 
 def test_shift_guards():
