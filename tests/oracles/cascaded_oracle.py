@@ -35,9 +35,13 @@ def bitpack_oracle(x: np.ndarray) -> bytes:
     """Pack elements into the reference blob format (header + LE bitstream)."""
     w = x.dtype.itemsize
     n = x.size
-    assert n >= 1 and n < 65536
-    frame, bw = for_bitwidth_oracle(x)
-    u = (x - frame).astype(x.dtype)  # wrapping subtract
+    assert n < 65536
+    if n == 0:
+        frame, bw = np.zeros(1, x.dtype)[0], 0  # deterministic empty blob
+    else:
+        frame, bw = for_bitwidth_oracle(x)
+    with np.errstate(over="ignore"):
+        u = (x - frame).astype(x.dtype).view(np.dtype(f"u{w}"))  # wrapping subtract
 
     hdr_size = _round_up(w + 4, max(4, w))
     hdr = bytearray(hdr_size)
@@ -95,7 +99,8 @@ def rle_decode_oracle(vals, counts):
 
 
 def delta_encode_oracle(x: np.ndarray):
-    return (x[1:] - x[:-1]).astype(x.dtype), x[0]
+    first = x[0] if x.size else x.dtype.type(0)
+    return (x[1:] - x[:-1]).astype(x.dtype), first
 
 
 def delta_decode_oracle(d: np.ndarray, first):
@@ -264,6 +269,11 @@ def cascaded_decompress_oracle(comp: bytes, expected_bytes: int | None = None) -
                     counts = bitunpack_oracle(cblob, np.uint16)
                 else:
                     counts = np.frombuffer(cblob, np.uint16)
+                # num_runs = current element count (reference :1370-1378);
+                # short blobs read as zero counts (UB in the reference,
+                # defined here as zeros to match the jnp implementation)
+                if counts.size < buf.size:
+                    counts = np.concatenate([counts, np.zeros(buf.size - counts.size, np.uint16)])
                 counts = counts[: buf.size]
                 buf = rle_decode_oracle(buf, counts)
                 rle_rem -= 1

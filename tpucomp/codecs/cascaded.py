@@ -1,0 +1,436 @@
+"""Fused batched Cascaded codec (RLE / Delta / BitPack pipeline).
+
+TPU-native re-design of the reference's fused kernels
+(do_cascaded_compression_kernel, src/CascadedKernels.hiph:766-1058;
+cascaded_decompression_fcn, :1111-1435) producing byte-identical artifacts.
+
+Partition layout (one batch entry; offsets relative to the partition start,
+which the API requires to be 4B- and element-aligned):
+
+    byte 0: num_RLEs   byte 1: num_deltas   byte 2: use_bp   byte 3: dtype
+    bytes 4..7: uncompressed byte count (u32 LE)
+    then, aligned up to the element width, a sequence of chunks:
+      chunk metadata: u32 chunk_total | u32 rle_blob_bytes x num_RLEs |
+                      u32 final_blob_bytes | delta first-elements
+                      (layout per get_chunk_metadata_size, :101-106)
+      RLE count blobs (uint16 runs, optionally bitpacked), each 4B-aligned
+      final element blob, aligned to max(4, W)
+      trailing padding to the element width
+
+Incompressible partitions fall back to a raw copy with zeroed layer counts
+(:862-870, 1019-1029), capping output at roundUp4(n) + 8.
+
+Design notes (TPU-first, not a port):
+  - a batch is a dense (data uint8[B, C], lengths int32[B]) pair; all work is
+    dense vectorized math vmapped over partitions and chunks -- the
+    threadblock/shared-memory structure of the reference maps to
+    chunk-blocked, VPU-friendly cumsum/searchsorted/gather pipelines
+  - the per-partition chunk packing uses an exclusive cumsum instead of the
+    reference's pointer walk; results are identical bytes
+  - layer schedules are static Python unrolls (opts are static under jit)
+
+The reference's decompression scheduling only inverts compression when
+num_deltas <= num_RLEs or num_RLEs == 0; CascadedOpts.validate enforces that.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpucomp.core.options import CascadedOpts
+from tpucomp.core.sizing import round_up_to
+from tpucomp.core.types import Status, width_of
+from tpucomp.ops import bitpack as bp
+from tpucomp.ops import delta as dl
+from tpucomp.ops import rle as rl
+from tpucomp.utils import bits
+
+PARTITION_HEADER = 8
+
+
+def chunk_metadata_size(opts: CascadedOpts) -> int:
+    w = width_of(opts.type)
+    return round_up_to(4 + 4 * (opts.num_rles + 1), w) + round_up_to(w * opts.num_deltas, 4)
+
+
+def _counts_blob_max(opts: CascadedOpts) -> int:
+    e = opts.chunk_num_elements
+    return (8 + round_up_to(2 * e, 4)) if opts.use_bp else round_up_to(2 * e, 4)
+
+
+def _final_blob_max(opts: CascadedOpts) -> int:
+    w = width_of(opts.type)
+    e = opts.chunk_num_elements
+    return (bp.bitpack_header_size(w) + round_up_to(e * w, 4)) if opts.use_bp else round_up_to(e * w, 4)
+
+
+def chunk_output_max(opts: CascadedOpts) -> int:
+    """Worst-case bytes one chunk can occupy (metadata + blobs + padding)."""
+    w = width_of(opts.type)
+    total = (
+        chunk_metadata_size(opts)
+        + opts.num_rles * round_up_to(_counts_blob_max(opts), 4)
+        + round_up_to(_final_blob_max(opts), 4)
+    )
+    return round_up_to(total + w, max(4, w))
+
+
+def partition_output_max(capacity_bytes: int, opts: CascadedOpts) -> int:
+    """Buffer size able to hold either the chunked or the fallback layout."""
+    w = width_of(opts.type)
+    k = max(1, -(-capacity_bytes // opts.chunk_size))
+    chunked = PARTITION_HEADER + k * chunk_output_max(opts)
+    fallback = PARTITION_HEADER + round_up_to(capacity_bytes, 4)
+    return round_up_to(max(chunked, fallback), max(4, w))
+
+
+def _schedule(opts: CascadedOpts):
+    """Static compression op order: RLE before Delta within each layer
+    (reference src/CascadedKernels.hiph:910-980)."""
+    ops = []
+    rle_rem, delta_rem = opts.num_rles, opts.num_deltas
+    for _ in range(max(opts.num_rles, opts.num_deltas)):
+        if rle_rem > 0:
+            ops.append(("rle", opts.num_rles - rle_rem))
+            rle_rem -= 1
+        if delta_rem > 0:
+            ops.append(("delta", opts.num_deltas - delta_rem))
+            delta_rem -= 1
+    return ops
+
+
+def _inverse_schedule(opts: CascadedOpts):
+    """Static decompression op order (reference
+    src/CascadedKernels.hiph:1333-1398): delta when delta_rem >= rle_rem,
+    then rle when rle_rem >= delta_rem, per layer."""
+    ops = []
+    rle_rem, delta_rem = opts.num_rles, opts.num_deltas
+    for _ in range(max(opts.num_rles, opts.num_deltas)):
+        if delta_rem > 0 and delta_rem >= rle_rem:
+            ops.append(("delta", delta_rem - 1))
+            delta_rem -= 1
+        if rle_rem > 0 and rle_rem >= delta_rem:
+            ops.append(("rle", rle_rem - 1))
+            rle_rem -= 1
+    return ops
+
+
+def _pack_blob(x, n, opts: CascadedOpts, blob_max: int):
+    """block_write equivalent: raw bytes or a bitpack blob. Returns
+    (blob uint8[blob_max], size)."""
+    w = jnp.iinfo(x.dtype).bits // 8
+    if opts.use_bp:
+        max_words = (blob_max - bp.bitpack_header_size(int(w))) // 4
+        blob, size = bp.bitpack(x, n, max_words)
+        if blob.shape[0] < blob_max:
+            blob = jnp.concatenate([blob, jnp.zeros((blob_max - blob.shape[0],), jnp.uint8)])
+        return blob[:blob_max], size
+    raw = bits.units_to_bytes_le(x)
+    size = n * w
+    t = jnp.arange(raw.shape[0], dtype=jnp.int32)
+    raw = jnp.where(t < size, raw, 0).astype(jnp.uint8)
+    if raw.shape[0] < blob_max:
+        raw = jnp.concatenate([raw, jnp.zeros((blob_max - raw.shape[0],), jnp.uint8)])
+    return raw[:blob_max], size.astype(jnp.int32)
+
+
+def _read_blob_elems(part, off, size, width: int, blob_max: int, out_elements: int, use_bp: bool):
+    """block_read equivalent: slice a blob out of the partition buffer and
+    return elements.  Returns (elems unsigned[out_elements], count)."""
+    blob = bits.read_section(part, off, blob_max)
+    if use_bp:
+        x, n, _ = bp.bitunpack(blob, out_elements, width)
+        return x, n
+    n = size // width
+    elems = bits.bytes_to_units_le(blob[: out_elements * width], width)
+    i = jnp.arange(out_elements, dtype=jnp.int32)
+    return jnp.where(i < n, elems, 0).astype(elems.dtype), n.astype(jnp.int32)
+
+
+def _compress_chunk(x, n, opts: CascadedOpts):
+    """Compress one chunk of elements.
+
+    Returns (buf uint8[CHUNK_MAX], total_size, blob_end_max) where
+    blob_end_max is the largest end offset of any checked blob write
+    (for the reference's incremental output-limit fallback check).
+    """
+    w = width_of(opts.type)
+    meta_size = chunk_metadata_size(opts)
+    chunk_max = chunk_output_max(opts)
+    counts_max = _counts_blob_max(opts)
+    final_max = _final_blob_max(opts)
+
+    buf = jnp.zeros((chunk_max,), jnp.uint8)
+    meta_words = jnp.zeros((2 + opts.num_rles,), jnp.uint32)
+    delta_firsts = jnp.zeros((max(opts.num_deltas, 1),), x.dtype)
+
+    pos = jnp.int32(meta_size)
+    blob_end_max = jnp.int32(0)
+    cur_x, cur_n = x, n
+    for kind, idx in _schedule(opts):
+        if kind == "rle":
+            vals, counts, runs = rl.rle_encode(cur_x, cur_n)
+            blob, size = _pack_blob(counts, runs, opts, counts_max)
+            buf = bits.write_section(buf, blob, pos, size)
+            meta_words = meta_words.at[idx + 1].set(size.astype(jnp.uint32))
+            blob_end_max = jnp.maximum(blob_end_max, pos + round_up_to_dyn(size, 4))
+            pos = pos + round_up_to_dyn(size, 4)
+            cur_x, cur_n = vals, runs
+        else:
+            d, first, cnt = dl.delta_encode(cur_x, cur_n)
+            delta_firsts = delta_firsts.at[idx].set(first)
+            cur_x, cur_n = d, cnt
+
+    # final array, aligned to the element width (pos is 4B-aligned)
+    pos = round_up_to_dyn(pos, w)
+    blob, size = _pack_blob(cur_x, cur_n, opts, final_max)
+    buf = bits.write_section(buf, blob, pos, size)
+    meta_words = meta_words.at[opts.num_rles + 1].set(size.astype(jnp.uint32))
+    blob_end_max = jnp.maximum(blob_end_max, pos + round_up_to_dyn(size, 4))
+    pos = round_up_to_dyn(pos + round_up_to_dyn(size, 4), w)
+    meta_words = meta_words.at[0].set(pos.astype(jnp.uint32))
+
+    # flush metadata: u32 words then delta first-elements
+    meta = jnp.zeros((meta_size,), jnp.uint8)
+    meta = bits.write_section(meta, bits.units_to_bytes_le(meta_words),
+                              jnp.int32(0), jnp.int32(4 * (2 + opts.num_rles)))
+    if opts.num_deltas:
+        dh_off = round_up_to(4 + 4 * (opts.num_rles + 1), w)
+        meta = bits.write_section(
+            meta,
+            bits.units_to_bytes_le(delta_firsts[: opts.num_deltas]),
+            jnp.int32(dh_off),
+            jnp.int32(w * opts.num_deltas),
+        )
+    buf = bits.write_section(buf, meta, jnp.int32(0), jnp.int32(meta_size))
+    return buf, pos, blob_end_max
+
+
+def round_up_to_dyn(x, y: int):
+    return (x + (y - 1)) // y * y
+
+
+def _compress_partition(data, length, opts: CascadedOpts):
+    """data: uint8[C]; length: valid bytes.  Returns (out uint8[PMAX], size)."""
+    w = width_of(opts.type)
+    e = opts.chunk_num_elements
+    c = data.shape[0]
+    k = max(1, -(-c // opts.chunk_size))
+    pmax = partition_output_max(c, opts)
+
+    n_elems = (length // w).astype(jnp.int32)
+    input_bytes = n_elems * w
+
+    padded = jnp.zeros((k * e * w,), jnp.uint8).at[: min(c, k * e * w)].set(data[: k * e * w])
+    elems = bits.bytes_to_units_le(padded, w).reshape(k, e)
+    ki = jnp.arange(k, dtype=jnp.int32)
+    chunk_n = jnp.clip(n_elems - ki * e, 0, e)
+
+    bufs, totals, blob_ends = jax.vmap(lambda xx, nn: _compress_chunk(xx, nn, opts))(elems, chunk_n)
+    valid = chunk_n > 0
+    totals = jnp.where(valid, totals, 0)
+
+    start0 = round_up_to(PARTITION_HEADER, w)
+    offsets = start0 + jnp.cumsum(totals) - totals  # exclusive cumsum
+    total_size = start0 + jnp.sum(totals)
+
+    # reference fallback check: any checked blob write ending past the limit
+    # (output_limit = 8B metadata + roundUp4(input_bytes))
+    limit = PARTITION_HEADER + round_up_to_dyn(input_bytes, 4)
+    oob = jnp.any(valid & (offsets + blob_ends > limit))
+    no_layers = opts.num_rles == 0 and opts.num_deltas == 0 and not opts.use_bp
+    use_fallback = oob | jnp.bool_(no_layers)
+
+    body = bits.concat_blobs(bufs, offsets, totals, pmax)
+
+    header = jnp.zeros((PARTITION_HEADER,), jnp.uint8)
+    nr = jnp.where(use_fallback, 0, opts.num_rles).astype(jnp.uint8)
+    nd = jnp.where(use_fallback, 0, opts.num_deltas).astype(jnp.uint8)
+    ub = jnp.where(use_fallback, 0, int(opts.use_bp)).astype(jnp.uint8)
+    header = header.at[0].set(nr).at[1].set(nd).at[2].set(ub).at[3].set(jnp.uint8(int(opts.type)))
+    header = header.at[4:8].set(bits.units_to_bytes_le(input_bytes.astype(jnp.uint32)[None]))
+
+    # fallback body: raw elements at roundUp(8, w), padded to 4B
+    raw_start = round_up_to(PARTITION_HEADER, w)
+    t = jnp.arange(pmax, dtype=jnp.int32)
+    raw_body = jnp.where(
+        (t >= raw_start) & (t < raw_start + input_bytes),
+        padded[jnp.clip(t - raw_start, 0, padded.shape[0] - 1)],
+        0,
+    ).astype(jnp.uint8)
+    fallback_size = round_up_to(PARTITION_HEADER, w) + round_up_to_dyn(input_bytes, 4)
+
+    body = jnp.where(use_fallback, raw_body, body)
+    out = body.at[:PARTITION_HEADER].set(header)
+    size = jnp.where(use_fallback, fallback_size, total_size)
+    # empty partition: size 0 (reference :857-861)
+    size = jnp.where(n_elems > 0, size, 0)
+    out = jnp.where(n_elems > 0, out, jnp.zeros_like(out))
+    return out, size.astype(jnp.int32)
+
+
+def _walk_chunks(part, comp_size, opts: CascadedOpts, k: int):
+    """Chunk start offsets via the reference's pointer walk (scan over K)."""
+    w = width_of(opts.type)
+    start0 = round_up_to(PARTITION_HEADER, w)
+
+    def step(pos, _):
+        word = bits.bytes_to_units_le(bits.read_section(part, pos, 4), 4)[0]
+        total = jnp.minimum(word, jnp.uint32(part.shape[0] + 8)).astype(jnp.int32)
+        in_range = pos < (comp_size // 4) * 4
+        nxt = jnp.where(in_range, round_up_to_dyn(pos + jnp.maximum(total, 4), w), pos)
+        return nxt, (pos, in_range)
+
+    end_pos, (offs, live) = jax.lax.scan(step, jnp.int32(start0), None, length=k)
+    return offs, live, end_pos
+
+
+def _decompress_chunk(part, comp_size, chunk_off, opts: CascadedOpts):
+    """Inverse pipeline for one chunk.  Returns (elems[E], count, ok)."""
+    w = width_of(opts.type)
+    e = opts.chunk_num_elements
+    meta_size = chunk_metadata_size(opts)
+    counts_max = _counts_blob_max(opts)
+    final_max = _final_blob_max(opts)
+    end_words = comp_size // 4
+
+    ok = (chunk_off + meta_size) // 4 <= end_words
+
+    meta = bits.read_section(part, chunk_off, meta_size)
+    meta_words = bits.bytes_to_units_le(meta[: 4 * (2 + opts.num_rles)], 4)
+    cap = jnp.uint32(part.shape[0] + 8)
+    blob_sizes = jnp.minimum(meta_words, cap).astype(jnp.int32)  # clamp corrupt sizes
+    delta_firsts = jnp.zeros((max(opts.num_deltas, 1),), bits.unsigned_of_width(w))
+    if opts.num_deltas:
+        dh_off = round_up_to(4 + 4 * (opts.num_rles + 1), w)
+        delta_firsts = bits.bytes_to_units_le(
+            bits.read_section(part, chunk_off + dh_off, w * opts.num_deltas), w
+        )
+
+    # section offsets (reference src/CascadedKernels.hiph:1288-1302)
+    rle_offsets = [jnp.int32(0)]
+    for kk in range(opts.num_rles - 1):
+        rle_offsets.append(round_up_to_dyn(rle_offsets[kk] + blob_sizes[kk + 1], 4))
+    if opts.num_rles > 0:
+        final_off = round_up_to_dyn(rle_offsets[-1] + blob_sizes[opts.num_rles], max(4, w))
+    else:
+        final_off = jnp.int32(0)
+    base = chunk_off + meta_size
+
+    def in_bounds(off, size):
+        return (base + off) // 4 + (size + 3) // 4 <= end_words
+
+    final_size = blob_sizes[opts.num_rles + 1]
+    ok &= in_bounds(final_off, final_size)
+    cur_x, cur_n = _read_blob_elems(
+        part, base + final_off, final_size, w, final_max, e, opts.use_bp
+    )
+
+    for kind, idx in _inverse_schedule(opts):
+        if kind == "delta":
+            cur_x, cur_n = dl.delta_decode(cur_x, delta_firsts[idx], cur_n)
+            cur_n = jnp.minimum(cur_n, e)
+        else:
+            csize = blob_sizes[idx + 1]
+            ok &= in_bounds(rle_offsets[idx], csize)
+            counts, _ = _read_blob_elems(
+                part, base + rle_offsets[idx], csize, 2, counts_max, e, opts.use_bp
+            )
+            cur_x, cur_n = rl.rle_decode(cur_x, counts.astype(jnp.uint16), cur_n, e)
+    return cur_x, jnp.where(ok, cur_n, 0), ok
+
+
+def _decompress_partition(part, comp_size, out_capacity: int, opts: CascadedOpts):
+    """Returns (out uint8[out_capacity], out_bytes, status int32)."""
+    w = width_of(opts.type)
+    e = opts.chunk_num_elements
+    cap_elems = out_capacity // w
+    k = max(1, -(-out_capacity // opts.chunk_size))
+
+    hdr_ok = comp_size >= PARTITION_HEADER
+    nr = part[0].astype(jnp.int32)
+    nd = part[1].astype(jnp.int32)
+    ubp = part[2].astype(jnp.int32)
+    dt = part[3].astype(jnp.int32)
+    n_bytes = bits.bytes_to_units_le(part[4:8], 4)[0].astype(jnp.int32)
+    n_elems = n_bytes // w
+
+    fits = out_capacity >= n_bytes
+    is_fallback = (nr == 0) & (nd == 0) & (ubp == 0)
+    matches = (nr == opts.num_rles) & (nd == opts.num_deltas) & (ubp == int(opts.use_bp)) & (
+        dt == int(opts.type)
+    )
+
+    # ---- fallback raw-copy path (reference :1227-1257)
+    raw_start = round_up_to(PARTITION_HEADER, w)
+    fb_ok = comp_size >= raw_start + n_elems * w
+    t = jnp.arange(out_capacity, dtype=jnp.int32)
+    fb_out = jnp.where(
+        t < n_elems * w, part[jnp.clip(t + raw_start, 0, part.shape[0] - 1)], 0
+    ).astype(jnp.uint8)
+
+    # ---- chunked pipeline path
+    offs, live, end_pos = _walk_chunks(part, comp_size, opts, k)
+    elems_k, counts_k, ok_k = jax.vmap(
+        lambda off: _decompress_chunk(part, comp_size, off, opts)
+    )(offs)
+    counts_k = jnp.where(live, counts_k, 0)
+    ok_pipeline = jnp.all(ok_k | ~live)
+    cum = jnp.cumsum(counts_k)
+    total_elems = cum[-1]
+    ok_pipeline &= total_elems == n_elems
+    ok_pipeline &= jnp.all(cum <= n_elems)
+    ok_pipeline &= end_pos >= (comp_size // 4) * 4  # all chunks consumed
+
+    # ragged concat of chunk element outputs
+    el_offsets = (cum - counts_k).astype(jnp.int32)
+    flat_bytes = jax.vmap(bits.units_to_bytes_le)(elems_k)  # [k, e*w]
+    pipe_out = bits.concat_blobs(flat_bytes, el_offsets * w, counts_k * w, out_capacity)
+
+    ok = jnp.where(is_fallback, fb_ok, ok_pipeline & matches) & hdr_ok & fits & (
+        comp_size > 0
+    )
+    out = jnp.where(is_fallback, fb_out, pipe_out)
+    out = jnp.where(ok, out, jnp.zeros_like(out))
+    out_bytes = jnp.where(ok, n_elems * w, 0).astype(jnp.int32)
+    status = jnp.where(ok, int(Status.SUCCESS), int(Status.ERROR_CANNOT_DECOMPRESS)).astype(
+        jnp.int32
+    )
+    return out, out_bytes, status
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def compress(data, lengths, opts: CascadedOpts):
+    """Batched cascaded compression.
+
+    data: uint8[B, C]; lengths: int32[B].  Returns (comp uint8[B, PMAX],
+    comp_sizes int32[B]).  Lengths that are not a multiple of the element
+    width are truncated (reference behavior, src/CascadedKernels.hiph:846).
+    """
+    opts.validate()
+    return jax.vmap(lambda d, l: _compress_partition(d, l, opts))(data, lengths)
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "out_capacity"))
+def decompress(comp, comp_sizes, opts: CascadedOpts, out_capacity: int):
+    """Batched cascaded decompression.
+
+    Returns (data uint8[B, out_capacity], lengths int32[B], statuses
+    int32[B]).  Partitions whose stream metadata does not match ``opts``
+    (other than the raw fallback) report ERROR_CANNOT_DECOMPRESS.
+    """
+    opts.validate()
+    return jax.vmap(lambda p, s: _decompress_partition(p, s, out_capacity, opts))(
+        comp, comp_sizes
+    )
+
+
+@jax.jit
+def get_decompress_size(comp, comp_sizes):
+    """Uncompressed byte count per partition (reads u32 at offset 4,
+    reference src/lowlevel/CascadedBatch.hip:262-281)."""
+    sizes = bits.bytes_to_units_le(comp[:, 4:8], 4)[:, 0].astype(jnp.int32)
+    return jnp.where(comp_sizes >= PARTITION_HEADER, sizes, 0)

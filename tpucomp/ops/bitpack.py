@@ -65,7 +65,11 @@ def for_bitwidth(x, n):
         minimum.astype(wide_s), wide_u
     )
     bw = bits.bit_width(rng)
-    return bits.bitcast(minimum, x.dtype), bw
+    # n == 0 is UB in the reference (uninitialized BlockReduce); define it
+    # deterministically as FOR = 0, bitwidth = 0.
+    frame = jnp.where(n > 0, bits.bitcast(minimum, x.dtype), 0).astype(x.dtype)
+    bw = jnp.where(n > 0, bw, 0)
+    return frame, bw
 
 
 def bitpack(x, n, max_words: int):

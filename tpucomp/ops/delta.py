@@ -22,7 +22,9 @@ def delta_encode(x, n):
     d = jnp.roll(x, -1) - x
     i = jnp.arange(x.shape[-1], dtype=jnp.int32)
     d = jnp.where(i < n - 1, d, 0).astype(x.dtype)
-    return d, x[0], n - 1
+    # n == 0 is UB in the reference (stale shared memory); define first = 0.
+    first = jnp.where(n > 0, x[0], 0).astype(x.dtype)
+    return d, first, jnp.maximum(n - 1, 0)
 
 
 def delta_decode(d, first, n):

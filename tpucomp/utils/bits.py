@@ -133,6 +133,28 @@ def write_section(out, src, offset, size):
     return jnp.where(take, vals, out)
 
 
+def concat_blobs(bufs, offsets, sizes, out_size: int):
+    """Gapless-with-padding concatenation of K variable-size blobs.
+
+    out[offsets[k] + i] = bufs[k, i] for i < sizes[k]; bytes not covered by
+    any blob (alignment gaps, tail) are 0.  ``offsets`` must be ascending.
+    Dense searchsorted + gather formulation, cost O(out_size log K).
+
+    This replaces the reference's atomicAdd-ordered output packing
+    (src/hipcomp_common_deps/hlif_shared.hiph:203-210) with a deterministic
+    prefix-sum layout.
+    """
+    k_max, s_max = bufs.shape
+    t = jnp.arange(out_size, dtype=jnp.int32)
+    k = jnp.searchsorted(offsets.astype(jnp.int32), t, side="right").astype(jnp.int32) - 1
+    k_c = jnp.clip(k, 0, k_max - 1)
+    src = t - offsets[k_c].astype(jnp.int32)
+    valid = (k >= 0) & (src >= 0) & (src < sizes[k_c].astype(jnp.int32)) & (src < s_max)
+    flat = bufs.reshape(-1)
+    vals = flat[jnp.clip(k_c * s_max + src, 0, flat.shape[0] - 1)]
+    return jnp.where(valid, vals, 0).astype(bufs.dtype)
+
+
 def read_section(buf, offset, size: int):
     """Return buf[offset : offset + size] (static size), zero-padded past end."""
     t = jnp.arange(size, dtype=jnp.int32) + offset.astype(jnp.int32)
