@@ -1,0 +1,128 @@
+"""Benchmark harness: batched codec throughput on the local chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no absolute numbers (BASELINE.md); the project
+target is >= 0.5x HBM-roofline GB/s per chip (BASELINE.json).  vs_baseline
+is therefore measured against 0.5 x the chip's approximate HBM bandwidth.
+
+Corpus: deterministic Silesia-like mix (text-ish, structured records, runs,
+random) since the environment has no network access; chunked at the
+BASELINE chunk size.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Approximate HBM bandwidth per chip (GB/s) by TPU generation.
+HBM_GBPS = {
+    "v5 lite": 819.0,  # v5e
+    "v5e": 819.0,
+    "v5p": 2765.0,
+    "v4": 1228.0,
+    "v6": 1640.0,
+    "cpu": 100.0,
+}
+
+
+def synth_corpus(total_bytes: int, seed: int = 0) -> bytes:
+    """Deterministic mixed-compressibility corpus (Silesia stand-in)."""
+    rng = np.random.default_rng(seed)
+    parts = []
+    quarter = total_bytes // 4
+    # text-like: skewed byte distribution with repeated words
+    words = rng.integers(97, 122, size=(64, 8), dtype=np.uint8)
+    idx = rng.integers(0, 64, size=quarter // 8 + 1)
+    parts.append(words[idx].reshape(-1)[:quarter])
+    # structured records: slowly-varying int32 columns (cascaded's home turf)
+    base = rng.integers(0, 1000, size=quarter // 4 // 64 + 1)
+    col = (np.repeat(base, 64)[: quarter // 4] + rng.integers(0, 3, size=quarter // 4)).astype(
+        np.int32
+    )
+    parts.append(col.view(np.uint8))
+    # runs
+    vals = rng.integers(0, 256, size=quarter // 32 + 1, dtype=np.uint8)
+    parts.append(np.repeat(vals, 32)[:quarter])
+    # incompressible
+    parts.append(rng.integers(0, 256, size=total_bytes - 3 * quarter, dtype=np.uint8))
+    return b"".join(p.tobytes() for p in parts)
+
+
+def _chip_roofline() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, gbps in HBM_GBPS.items():
+        if key in kind:
+            return gbps
+    return 819.0
+
+
+def bench_cascaded(total_mb: int = 64, iters: int = 5) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from tpucomp.codecs import cascaded as cc
+    from tpucomp.core.options import CascadedOpts
+
+    opts = CascadedOpts()  # 4KB internal chunks, INT
+    chunk = 64 * 1024  # BASELINE partition size
+    total = total_mb * 1024 * 1024
+    corpus = synth_corpus(total)
+    b = total // chunk
+    data = np.frombuffer(corpus, np.uint8)[: b * chunk].reshape(b, chunk)
+    lengths = np.full((b,), chunk, np.int32)
+    d, l = jnp.asarray(data), jnp.asarray(lengths)
+
+    comp, sizes = cc.compress(d, l, opts)  # compile + warm
+    jax.block_until_ready((comp, sizes))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        comp, sizes = cc.compress(d, l, opts)
+    jax.block_until_ready((comp, sizes))
+    enc_s = (time.perf_counter() - t0) / iters
+
+    out = cc.decompress(comp, sizes, opts, chunk)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = cc.decompress(comp, sizes, opts, chunk)
+    jax.block_until_ready(out)
+    dec_s = (time.perf_counter() - t0) / iters
+
+    ok = bool((np.asarray(out[0]) == data).all() and (np.asarray(out[2]) == 0).all())
+    ratio = total / float(np.asarray(sizes).sum())
+    gb = total / 1e9
+    return {
+        "encode_gbps": gb / enc_s,
+        "decode_gbps": gb / dec_s,
+        "ratio": ratio,
+        "roundtrip_ok": ok,
+    }
+
+
+def main():
+    r = bench_cascaded()
+    value = round(min(r["encode_gbps"], r["decode_gbps"]), 3)
+    target = 0.5 * _chip_roofline()
+    print(
+        json.dumps(
+            {
+                "metric": "cascaded 64KB-chunk batch min(encode,decode) GB/s/chip "
+                f"(enc={r['encode_gbps']:.2f} dec={r['decode_gbps']:.2f} "
+                f"ratio={r['ratio']:.2f} ok={r['roundtrip_ok']})",
+                "value": value,
+                "unit": "GB/s",
+                "vs_baseline": round(value / target, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

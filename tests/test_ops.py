@@ -66,8 +66,12 @@ def test_bitpack_matches_oracle(rng, dtype, profile):
         expected = bitpack_oracle(u[:n])
         assert blob_np.tobytes() == expected, f"n={n}"
 
-        # round-trip through our unpacker and the oracle's
-        out, n_out, _ = bp.bitunpack(jnp.asarray(np.frombuffer(expected, np.uint8)), e, width)
+        # round-trip through our unpacker and the oracle's; pad the blob to
+        # a fixed size so each dtype compiles one unpack program, not one
+        # per blob length
+        padded = np.zeros(blob.shape[0], np.uint8)
+        padded[: len(expected)] = np.frombuffer(expected, np.uint8)
+        out, n_out, _ = bp.bitunpack(jnp.asarray(padded), e, width)
         assert int(n_out) == n
         np.testing.assert_array_equal(np.asarray(out)[:n], u[:n])
         np.testing.assert_array_equal(bitunpack_oracle(blob_np.tobytes(), _unsigned(dtype)), u[:n])
@@ -91,7 +95,9 @@ def test_bitpack_every_bitwidth(rng, width):
         blob, size = bp.bitpack(jnp.asarray(x), jnp.int32(e), e * width // 4 + 1)
         got = np.asarray(blob)[: int(size)].tobytes()
         assert got == bitpack_oracle(x)
-        out, n_out, bw_got = bp.bitunpack(jnp.asarray(np.frombuffer(got, np.uint8)), e, width)
+        padded = np.zeros(blob.shape[0], np.uint8)
+        padded[: len(got)] = np.frombuffer(got, np.uint8)
+        out, n_out, bw_got = bp.bitunpack(jnp.asarray(padded), e, width)
         np.testing.assert_array_equal(np.asarray(out), x)
 
 

@@ -46,7 +46,7 @@ from tpucomp.core.types import Status, width_of
 from tpucomp.ops import bitpack as bp
 from tpucomp.ops import delta as dl
 from tpucomp.ops import rle as rl
-from tpucomp.utils import bits
+from tpucomp.utils import bits, permute
 
 PARTITION_HEADER = 8
 
@@ -151,21 +151,23 @@ def _read_blob_elems(part, off, size, width: int, blob_max: int, out_elements: i
 
 
 def _compress_chunk(x, n, opts: CascadedOpts):
-    """Compress one chunk of elements.
+    """Compress one chunk of elements into its blobs + layout.
 
-    Returns (buf uint8[CHUNK_MAX], total_size, blob_end_max) where
-    blob_end_max is the largest end offset of any checked blob write
-    (for the reference's incremental output-limit fallback check).
+    Returns a dict with the metadata bytes, count/final blobs (zero-padded,
+    each with 8 slack bytes so alignment slots stay in-bounds), their
+    partition-relative positions, the chunk's total size, and the largest
+    end offset of any checked blob write (for the reference's incremental
+    output-limit fallback check).
     """
     w = width_of(opts.type)
     meta_size = chunk_metadata_size(opts)
-    chunk_max = chunk_output_max(opts)
     counts_max = _counts_blob_max(opts)
     final_max = _final_blob_max(opts)
 
-    buf = jnp.zeros((chunk_max,), jnp.uint8)
     meta_words = jnp.zeros((2 + opts.num_rles,), jnp.uint32)
     delta_firsts = jnp.zeros((max(opts.num_deltas, 1),), x.dtype)
+    counts_blobs = jnp.zeros((max(opts.num_rles, 1), counts_max + 8), jnp.uint8)
+    counts_pos = jnp.zeros((max(opts.num_rles, 1),), jnp.int32)
 
     pos = jnp.int32(meta_size)
     blob_end_max = jnp.int32(0)
@@ -174,7 +176,8 @@ def _compress_chunk(x, n, opts: CascadedOpts):
         if kind == "rle":
             vals, counts, runs = rl.rle_encode(cur_x, cur_n)
             blob, size = _pack_blob(counts, runs, opts, counts_max)
-            buf = bits.write_section(buf, blob, pos, size)
+            counts_blobs = counts_blobs.at[idx, :counts_max].set(blob)
+            counts_pos = counts_pos.at[idx].set(pos)
             meta_words = meta_words.at[idx + 1].set(size.astype(jnp.uint32))
             blob_end_max = jnp.maximum(blob_end_max, pos + round_up_to_dyn(size, 4))
             pos = pos + round_up_to_dyn(size, 4)
@@ -185,15 +188,15 @@ def _compress_chunk(x, n, opts: CascadedOpts):
             cur_x, cur_n = d, cnt
 
     # final array, aligned to the element width (pos is 4B-aligned)
-    pos = round_up_to_dyn(pos, w)
-    blob, size = _pack_blob(cur_x, cur_n, opts, final_max)
-    buf = bits.write_section(buf, blob, pos, size)
+    fpos = round_up_to_dyn(pos, w)
+    final_blob, size = _pack_blob(cur_x, cur_n, opts, final_max)
+    final_blob = jnp.concatenate([final_blob, jnp.zeros((8,), jnp.uint8)])
     meta_words = meta_words.at[opts.num_rles + 1].set(size.astype(jnp.uint32))
-    blob_end_max = jnp.maximum(blob_end_max, pos + round_up_to_dyn(size, 4))
-    pos = round_up_to_dyn(pos + round_up_to_dyn(size, 4), w)
-    meta_words = meta_words.at[0].set(pos.astype(jnp.uint32))
+    blob_end_max = jnp.maximum(blob_end_max, fpos + round_up_to_dyn(size, 4))
+    total = round_up_to_dyn(fpos + round_up_to_dyn(size, 4), w)
+    meta_words = meta_words.at[0].set(total.astype(jnp.uint32))
 
-    # flush metadata: u32 words then delta first-elements
+    # metadata bytes: u32 words then delta first-elements
     meta = jnp.zeros((meta_size,), jnp.uint8)
     meta = bits.write_section(meta, bits.units_to_bytes_le(meta_words),
                               jnp.int32(0), jnp.int32(4 * (2 + opts.num_rles)))
@@ -205,8 +208,15 @@ def _compress_chunk(x, n, opts: CascadedOpts):
             jnp.int32(dh_off),
             jnp.int32(w * opts.num_deltas),
         )
-    buf = bits.write_section(buf, meta, jnp.int32(0), jnp.int32(meta_size))
-    return buf, pos, blob_end_max
+    return {
+        "meta": meta,
+        "counts_blobs": counts_blobs,
+        "counts_pos": counts_pos,
+        "final_blob": final_blob,
+        "fpos": fpos,
+        "total": total,
+        "blob_end_max": blob_end_max,
+    }
 
 
 def round_up_to_dyn(x, y: int):
@@ -220,18 +230,19 @@ def _compress_partition(data, length, opts: CascadedOpts):
     c = data.shape[0]
     k = max(1, -(-c // opts.chunk_size))
     pmax = partition_output_max(c, opts)
+    meta_size = chunk_metadata_size(opts)
 
     n_elems = (length // w).astype(jnp.int32)
     input_bytes = n_elems * w
 
-    padded = jnp.zeros((k * e * w,), jnp.uint8).at[: min(c, k * e * w)].set(data[: k * e * w])
+    padded = jnp.zeros((k * e * w,), jnp.uint8).at[:c].set(data)
     elems = bits.bytes_to_units_le(padded, w).reshape(k, e)
     ki = jnp.arange(k, dtype=jnp.int32)
     chunk_n = jnp.clip(n_elems - ki * e, 0, e)
 
-    bufs, totals, blob_ends = jax.vmap(lambda xx, nn: _compress_chunk(xx, nn, opts))(elems, chunk_n)
+    ch = jax.vmap(lambda xx, nn: _compress_chunk(xx, nn, opts))(elems, chunk_n)
     valid = chunk_n > 0
-    totals = jnp.where(valid, totals, 0)
+    totals = jnp.where(valid, ch["total"], 0)
 
     start0 = round_up_to(PARTITION_HEADER, w)
     offsets = start0 + jnp.cumsum(totals) - totals  # exclusive cumsum
@@ -240,11 +251,58 @@ def _compress_partition(data, length, opts: CascadedOpts):
     # reference fallback check: any checked blob write ending past the limit
     # (output_limit = 8B metadata + roundUp4(input_bytes))
     limit = PARTITION_HEADER + round_up_to_dyn(input_bytes, 4)
-    oob = jnp.any(valid & (offsets + blob_ends > limit))
+    oob = jnp.any(valid & (offsets + ch["blob_end_max"] > limit))
     no_layers = opts.num_rles == 0 and opts.num_deltas == 0 and not opts.use_bp
     use_fallback = oob | jnp.bool_(no_layers)
 
-    body = bits.concat_blobs(bufs, offsets, totals, pmax)
+    # ---- sort-based byte placement: every byte of every section gets a
+    # target position; alignment gaps are covered by the blobs' zero padding
+    cb8 = ch["counts_blobs"].shape[-1]
+    fb8 = ch["final_blob"].shape[-1]
+    # placeholder entries for the partition header region [0, start0) so the
+    # placement covers position 0 onward (overwritten with the real header
+    # below); place() requires gap-free coverage
+    vals_list = [
+        jnp.zeros((start0,), jnp.uint8),
+        ch["meta"].reshape(-1),
+        ch["final_blob"].reshape(-1),
+    ]
+    hdr_tgts = [jnp.arange(start0, dtype=jnp.int32)]
+    hdr_oks = [jnp.ones((start0,), jnp.bool_)]
+    tgt_meta = offsets[:, None] + jnp.arange(meta_size, dtype=jnp.int32)[None, :]
+    ok_meta = jnp.broadcast_to(valid[:, None], (k, meta_size))
+    tgt_final = (offsets + ch["fpos"])[:, None] + jnp.arange(fb8, dtype=jnp.int32)[None, :]
+    ok_final = valid[:, None] & (
+        jnp.arange(fb8, dtype=jnp.int32)[None, :] < (ch["total"] - ch["fpos"])[:, None]
+    )
+    tgts_list = hdr_tgts + [tgt_meta.reshape(-1), tgt_final.reshape(-1)]
+    oks_list = hdr_oks + [ok_meta.reshape(-1), ok_final.reshape(-1)]
+    if opts.num_rles:
+        # count-blob slot r extends to the next blob's start (covers padding)
+        nxt = jnp.concatenate(
+            [ch["counts_pos"][:, 1 : opts.num_rles], ch["fpos"][:, None]], axis=1
+        )
+        slot = nxt - ch["counts_pos"][:, : opts.num_rles]
+        tgt_counts = (
+            (offsets[:, None] + ch["counts_pos"][:, : opts.num_rles])[:, :, None]
+            + jnp.arange(cb8, dtype=jnp.int32)[None, None, :]
+        )
+        ok_counts = valid[:, None, None] & (
+            jnp.arange(cb8, dtype=jnp.int32)[None, None, :] < slot[:, :, None]
+        )
+        vals_list.append(ch["counts_blobs"][:, : opts.num_rles].reshape(-1))
+        tgts_list.append(tgt_counts.reshape(-1))
+        oks_list.append(ok_counts.reshape(-1))
+
+    all_vals = jnp.concatenate(vals_list)
+    all_tgts = jnp.concatenate(tgts_list)
+    all_oks = jnp.concatenate(oks_list)
+    if all_vals.shape[0] < pmax:  # place() needs at least pmax entries
+        pad = pmax - all_vals.shape[0]
+        all_vals = jnp.concatenate([all_vals, jnp.zeros((pad,), jnp.uint8)])
+        all_tgts = jnp.concatenate([all_tgts, jnp.zeros((pad,), jnp.int32)])
+        all_oks = jnp.concatenate([all_oks, jnp.zeros((pad,), jnp.bool_)])
+    body = permute.place(all_vals, all_tgts, all_oks, pmax)
 
     header = jnp.zeros((PARTITION_HEADER,), jnp.uint8)
     nr = jnp.where(use_fallback, 0, opts.num_rles).astype(jnp.uint8)
@@ -385,10 +443,21 @@ def _decompress_partition(part, comp_size, out_capacity: int, opts: CascadedOpts
     ok_pipeline &= jnp.all(cum <= n_elems)
     ok_pipeline &= end_pos >= (comp_size // 4) * 4  # all chunks consumed
 
-    # ragged concat of chunk element outputs
+    # ragged concat of chunk element outputs (sort-based placement)
     el_offsets = (cum - counts_k).astype(jnp.int32)
-    flat_bytes = jax.vmap(bits.units_to_bytes_le)(elems_k)  # [k, e*w]
-    pipe_out = bits.concat_blobs(flat_bytes, el_offsets * w, counts_k * w, out_capacity)
+    el_tgts = el_offsets[:, None] + jnp.arange(e, dtype=jnp.int32)[None, :]
+    el_ok = jnp.arange(e, dtype=jnp.int32)[None, :] < counts_k[:, None]
+    n_entries = max(k * e, cap_elems)
+    ev = elems_k.reshape(-1)
+    et = el_tgts.reshape(-1)
+    eo = el_ok.reshape(-1)
+    if ev.shape[0] < n_entries:
+        pad = n_entries - ev.shape[0]
+        ev = jnp.concatenate([ev, jnp.zeros((pad,), ev.dtype)])
+        et = jnp.concatenate([et, jnp.zeros((pad,), jnp.int32)])
+        eo = jnp.concatenate([eo, jnp.zeros((pad,), jnp.bool_)])
+    out_elems = permute.place(ev, et, eo, cap_elems)
+    pipe_out = bits.units_to_bytes_le(out_elems)[:out_capacity]
 
     ok = jnp.where(is_fallback, fb_ok, ok_pipeline & matches) & hdr_ok & fits & (
         comp_size > 0

@@ -26,6 +26,7 @@ Functions operate on a single fixed-size unsigned element buffer ``x[E]``
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from tpucomp.core.sizing import round_up_to
@@ -72,6 +73,97 @@ def for_bitwidth(x, n):
     return frame, bw
 
 
+def _pack_words_switch(u, bw, max_words: int):
+    """Pack FOR-subtracted unsigned elements into u32 words.
+
+    TPU-native formulation: lax.switch over the (tbits + 1) static bitwidths;
+    each branch packs groups of P elements into P*bwi/32 words with purely
+    elementwise shifts and ors on strided columns -- no gathers, no scatters.
+    Under vmap all branches evaluate and select, which is still far cheaper
+    on the VPU than element-granularity scatter.
+    """
+    tbits = jnp.iinfo(u.dtype).bits
+    if True:
+        # The static-bitwidth switch explodes compile time/memory under vmap
+        # (all branches evaluate); keep the word-granularity scatter
+        # formulation until a Pallas kernel replaces it.
+        return _pack_words_scatter64(u, bw, max_words)
+    wide = jnp.uint32 if tbits <= 32 else jnp.uint64  # shift space: 32-bit words
+    e = u.shape[-1]
+    p = 32 if tbits <= 32 else 64  # elements per group so words divide evenly
+    ep = (e + p - 1) // p * p
+    if ep != e:
+        u = jnp.concatenate([u, jnp.zeros((ep - e,), u.dtype)])
+    g = u.reshape(ep // p, p).astype(wide)
+    n_groups = ep // p
+
+    def make_branch(bwi: int):
+        def branch(_):
+            if bwi == 0:
+                return jnp.zeros((max_words,), jnp.uint32)
+            wpg = p * bwi // 32  # words per group
+            cols = []
+            for j in range(wpg):
+                e0 = (32 * j) // bwi
+                e1 = min((32 * (j + 1) - 1) // bwi, p - 1)
+                acc = jnp.zeros((n_groups,), jnp.uint32)
+                for ei in range(e0, e1 + 1):
+                    s = ei * bwi - 32 * j
+                    v = g[:, ei]
+                    part = (v << wide(s)) if s >= 0 else (v >> wide(-s))
+                    acc = acc | part.astype(jnp.uint32)
+                cols.append(acc)
+            w = jnp.stack(cols, axis=1).reshape(n_groups * wpg)
+            if w.shape[0] < max_words:
+                w = jnp.concatenate([w, jnp.zeros((max_words - w.shape[0],), jnp.uint32)])
+            return w[:max_words]
+
+        return branch
+
+    return jax.lax.switch(
+        jnp.clip(bw, 0, tbits), [make_branch(b) for b in range(tbits + 1)], None
+    )
+
+
+def _pack_words_scatter64(u, bw, max_words: int):
+    """Element packing via 2-3 word-granularity scatter-adds.
+
+    Each element's bw bits span at most 2 (width <= 4) or 3 (width 8)
+    32-bit output words; parts have disjoint bits so add == or.
+    """
+    tbits = jnp.iinfo(u.dtype).bits
+    i = jnp.arange(u.shape[-1], dtype=jnp.int32)
+    bit0 = i * bw
+    w0 = bit0 >> 5
+    s0 = (bit0 & 31).astype(jnp.int32)
+    if tbits <= 32:
+        v = u.astype(jnp.uint32)
+        parts = [bits.shl(v, s0), bits.shr(v, 32 - s0)]
+    else:
+        v = u.astype(jnp.uint64)
+        parts = [bits.shl(v, s0), bits.shr(v, 32 - s0), bits.shr(v, 64 - s0)]
+    words = jnp.zeros((max_words,), jnp.uint32)
+    for k, part in enumerate(parts):
+        idx = jnp.where(bw > 0, w0 + k, max_words)  # drop when bw == 0
+        words = words.at[idx].add(part.astype(jnp.uint32), mode="drop")
+    return words
+
+
+def _unpack_words_gather64(units, bw, out_elements: int):
+    """Element unpacking via two monotone unit gathers."""
+    udtype = units.dtype
+    tbits = jnp.iinfo(udtype).bits
+    i = jnp.arange(out_elements, dtype=jnp.int32)
+    bit0 = i * bw
+    lo = jnp.minimum(bit0 // tbits, units.shape[0] - 1)
+    off = bit0 - (bit0 // tbits) * tbits
+    hi = jnp.minimum((bit0 + jnp.maximum(bw, 1) - 1) // tbits, units.shape[0] - 1)
+    val = bits.shr(units[lo], off)
+    high = bits.shl(units[hi], tbits - off)
+    v = jnp.where((hi > lo) & (off != 0), val | high, val)
+    return v & bits.mask_of_bits(jnp.broadcast_to(bw, v.shape), udtype)
+
+
 def bitpack(x, n, max_words: int):
     """Pack the valid prefix of unsigned ``x`` into the reference blob format.
 
@@ -87,26 +179,7 @@ def bitpack(x, n, max_words: int):
     valid = i < n
     u = jnp.where(valid, u, 0).astype(x.dtype)
 
-    # Element i contributes bits [i*bw, (i+1)*bw) of the output bit stream.
-    # Split each element into up to 3 aligned u32 parts and segment-sum them
-    # into words (parts have disjoint bits, so add == or).
-    bit0 = i * bw
-    w0 = bit0 >> 5
-    s0 = (bit0 & 31).astype(jnp.int32)
-    if width <= 4:
-        v = u.astype(jnp.uint32)
-        parts = [bits.shl(v, s0), bits.shr(v, 32 - s0)]
-    else:
-        # A 64-bit element shifted by s0 spans up to 3 output words.
-        v = u.astype(jnp.uint64)
-        parts = [bits.shl(v, s0), bits.shr(v, 32 - s0), bits.shr(v, 64 - s0)]
-
-    words = jnp.zeros((max_words,), jnp.uint32)
-    for k, part in enumerate(parts):
-        part32 = part.astype(jnp.uint32)
-        idx = jnp.where(valid & (bw > 0), w0 + k, max_words)  # drop invalid
-        words = words.at[idx].add(part32, mode="drop")
-
+    words = _pack_words_switch(u, bw, max_words)
     data_words = (n * bw + 31) >> 5
     blob_size = hdr + 4 * data_words
 
@@ -149,17 +222,52 @@ def bitunpack(blob, out_elements: int, width: int):
         data_bytes = jnp.concatenate([data_bytes, jnp.zeros((pad,), jnp.uint8)])
     units = bits.bytes_to_units_le(data_bytes, width)
 
+    v = _unpack_words_switch(units, bw, out_elements)
     i = jnp.arange(out_elements, dtype=jnp.int32)
-    bit0 = i * bw
-    lo = bit0 // tbits
-    off = bit0 - lo * tbits
-    hi = jnp.minimum(((i + 1) * bw) // tbits, units.shape[0] - 1)
-    lo = jnp.minimum(lo, units.shape[0] - 1)
-
-    base = bits.shr(units[lo], off)
-    high = bits.shl(units[hi], tbits - off)
-    v = jnp.where((hi > lo) & (off != 0), base + high, base)
-    v = v & bits.mask_of_bits(jnp.broadcast_to(bw, v.shape), udtype)
     x = (v + frame).astype(udtype)
     x = jnp.where((i < n) & (bw > 0), x, jnp.where(i < n, frame, 0)).astype(udtype)
     return x, n, bw
+
+
+def _unpack_words_switch(units, bw, out_elements: int):
+    """Inverse of _pack_words_switch: unsigned units -> FOR-relative values.
+
+    Same static-bitwidth switch structure; each branch reads at most two
+    strided unit columns per element with static shifts (reference
+    src/CascadedKernels.hiph:595-612, vectorized).
+    """
+    udtype = units.dtype
+    tbits = jnp.iinfo(udtype).bits
+    if True:  # see _pack_words_switch: switch lowering is not viable yet
+        return _unpack_words_gather64(units, bw, out_elements)
+    p = 32 if tbits <= 32 else 64  # elements per group
+
+    def make_branch(bwi: int):
+        def branch(_):
+            if bwi == 0:
+                return jnp.zeros((out_elements,), udtype)
+            upg = p * bwi // tbits  # units per group (integral by choice of p)
+            n_groups = -(-out_elements // p)
+            need = n_groups * upg
+            uu = units
+            if uu.shape[0] < need:
+                uu = jnp.concatenate([uu, jnp.zeros((need - uu.shape[0],), udtype)])
+            g = uu[:need].reshape(n_groups, upg)
+            mask = udtype.type((1 << bwi) - 1) if bwi < tbits else ~udtype.type(0)
+            cols = []
+            for e in range(p):
+                bit0 = e * bwi
+                lo = bit0 // tbits
+                off = bit0 - lo * tbits
+                hi = (bit0 + bwi - 1) // tbits
+                val = g[:, lo] >> udtype.type(off)
+                if hi > lo and off:
+                    val = val | (g[:, hi] << udtype.type(tbits - off))
+                cols.append(val & mask)
+            return jnp.stack(cols, axis=1).reshape(n_groups * p)[:out_elements]
+
+        return branch
+
+    return jax.lax.switch(
+        jnp.clip(bw, 0, tbits), [make_branch(b) for b in range(tbits + 1)], None
+    )

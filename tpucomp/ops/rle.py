@@ -6,20 +6,22 @@ src/RunLengthEncodeGPU.hip:167-560) and the fused cascaded RLE blocks
 
   - values are the element of each run, counts are the run lengths
   - counts are uint16 (so inputs must hold < 65536 elements)
-  - encode formulation: run *ends* are marked, end positions + 1 are
-    adjacent-differenced to form counts (reference
-    src/CascadedKernels.hiph:233-241)
+  - encode: run *ends* are marked, end positions + 1 adjacent-differenced
+    into counts (reference src/CascadedKernels.hiph:233-241)
 
-Dense, gather-only formulation (cumsum + searchsorted; no scatters), so it
-maps well onto the VPU.  Functions operate on a single fixed-size buffer
-``x[E]`` with a traced valid count ``n``; batch via ``jax.vmap``.
+All data-dependent movement is sort-based (see tpucomp.utils.permute):
+encode is a stream compaction, decode a merge + forward-fill -- the
+vector-machine counterparts of the reference's BlockScan + per-thread run
+writes.  Functions operate on a single fixed-size buffer ``x[E]`` with a
+traced valid count ``n``; batch via ``jax.vmap``.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-from tpucomp.utils import bits
+from tpucomp.utils import permute
 
 RUN_DTYPE = jnp.uint16
 
@@ -34,10 +36,14 @@ def rle_encode(x, n):
     i = jnp.arange(e, dtype=jnp.int32)
     nxt = jnp.roll(x, -1)
     is_end = jnp.where(i == n - 1, True, (i < n - 1) & (x != nxt))
-    ends, num_runs = bits.segment_positions(is_end, e)
+    num_runs = jnp.sum(is_end.astype(jnp.int32))
 
-    vals = x[ends]
-    idx1 = (ends + 1).astype(jnp.int32)
+    # compact (end position, value) pairs to the front in one kv-sort
+    key = jnp.where(is_end, i, e + i)
+    sk, vals = jax.lax.sort((key, x), num_keys=1, is_stable=True)
+    ends = jnp.where(sk < e, sk, 0)
+
+    idx1 = ends + 1
     counts = (idx1 - jnp.roll(idx1, 1).at[0].set(0)).astype(RUN_DTYPE)
 
     run_valid = i < num_runs
@@ -57,10 +63,8 @@ def rle_decode(vals, counts, num_runs, out_elements: int | None = None):
     c = jnp.where(i < num_runs, counts.astype(jnp.int32), 0)
     inc = jnp.cumsum(c)
     total = inc[-1]
-    # starts[r] = sum(c[:r]); output position j belongs to run
-    # searchsorted(inc, j, 'right'): first run whose inclusive end exceeds j.
+    starts = inc - c
+    x = permute.expand_runs(vals, starts, num_runs, e)
     j = jnp.arange(e, dtype=jnp.int32)
-    run_idx = jnp.searchsorted(inc, j, side="right").astype(jnp.int32)
-    run_idx = jnp.minimum(run_idx, vals.shape[-1] - 1)
-    x = jnp.where(j < total, vals[run_idx], 0).astype(vals.dtype)
+    x = jnp.where(j < total, x, 0).astype(vals.dtype)
     return x, total
