@@ -63,7 +63,7 @@ def _chip_roofline() -> float:
     return 819.0
 
 
-def bench_cascaded(total_mb: int = 64, iters: int = 5) -> dict:
+def bench_cascaded(total_mb: int = 64, iters: int = 2) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -79,20 +79,22 @@ def bench_cascaded(total_mb: int = 64, iters: int = 5) -> dict:
     lengths = np.full((b,), chunk, np.int32)
     d, l = jnp.asarray(data), jnp.asarray(lengths)
 
+    # device_get of a small result forces real completion (block_until_ready
+    # can return early through remote-device tunnels)
     comp, sizes = cc.compress(d, l, opts)  # compile + warm
-    jax.block_until_ready((comp, sizes))
+    jax.device_get(sizes)
     t0 = time.perf_counter()
     for _ in range(iters):
         comp, sizes = cc.compress(d, l, opts)
-    jax.block_until_ready((comp, sizes))
+    jax.device_get(sizes)
     enc_s = (time.perf_counter() - t0) / iters
 
     out = cc.decompress(comp, sizes, opts, chunk)
-    jax.block_until_ready(out)
+    jax.device_get(out[2])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = cc.decompress(comp, sizes, opts, chunk)
-    jax.block_until_ready(out)
+    jax.device_get(out[2])
     dec_s = (time.perf_counter() - t0) / iters
 
     ok = bool((np.asarray(out[0]) == data).all() and (np.asarray(out[2]) == 0).all())

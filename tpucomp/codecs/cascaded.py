@@ -137,17 +137,70 @@ def _pack_blob(x, n, opts: CascadedOpts, blob_max: int):
     return raw[:blob_max], size.astype(jnp.int32)
 
 
-def _read_blob_elems(part, off, size, width: int, blob_max: int, out_elements: int, use_bp: bool):
-    """block_read equivalent: slice a blob out of the partition buffer and
-    return elements.  Returns (elems unsigned[out_elements], count)."""
-    blob = bits.read_section(part, off, blob_max)
-    if use_bp:
-        x, n, _ = bp.bitunpack(blob, out_elements, width)
-        return x, n
-    n = size // width
-    elems = bits.bytes_to_units_le(blob[: out_elements * width], width)
+def _fetch_units(part_words, data_off, unit_idx, width: int):
+    """Fetch element-width units at 4-aligned byte offset ``data_off`` +
+    unit_idx * width from the partition's u32 word view (one or two word
+    gathers; sub-word extraction is elementwise)."""
+    last = part_words.shape[0] - 1
+    base = data_off // 4
+    if width == 4:
+        return part_words[jnp.clip(base + unit_idx, 0, last)]
+    if width == 2:
+        wv = part_words[jnp.clip(base + (unit_idx >> 1), 0, last)]
+        return ((wv >> (16 * (unit_idx & 1)).astype(jnp.uint32)) & jnp.uint32(0xFFFF)).astype(
+            jnp.uint16
+        )
+    if width == 1:
+        wv = part_words[jnp.clip(base + (unit_idx >> 2), 0, last)]
+        return ((wv >> (8 * (unit_idx & 3)).astype(jnp.uint32)) & jnp.uint32(0xFF)).astype(
+            jnp.uint8
+        )
+    lo32 = part_words[jnp.clip(base + 2 * unit_idx, 0, last)]
+    hi32 = part_words[jnp.clip(base + 2 * unit_idx + 1, 0, last)]
+    return lo32.astype(jnp.uint64) | (hi32.astype(jnp.uint64) << jnp.uint64(32))
+
+
+def _read_blob_elems(part_words, off, size, width: int, out_elements: int, use_bp: bool):
+    """block_read equivalent reading straight out of the partition words.
+
+    Returns (elems unsigned[out_elements], count).  ``off`` must be
+    4-aligned (guaranteed by the format's alignment rules).
+    """
+    udtype = bits.unsigned_of_width(width)
+    tbits = width * 8
     i = jnp.arange(out_elements, dtype=jnp.int32)
-    return jnp.where(i < n, elems, 0).astype(elems.dtype), n.astype(jnp.int32)
+    if not use_bp:
+        n = size // width
+        elems = _fetch_units(part_words, off, i, width)
+        return jnp.where(i < n, elems, 0).astype(udtype), n.astype(jnp.int32)
+
+    hdr = bp.bitpack_header_size(width)
+    w0 = part_words[jnp.clip(off // 4, 0, part_words.shape[0] - 1)]
+    if width == 8:
+        w1 = part_words[jnp.clip(off // 4 + 1, 0, part_words.shape[0] - 1)]
+        frame = w0.astype(jnp.uint64) | (w1.astype(jnp.uint64) << jnp.uint64(32))
+    elif width == 4:
+        frame = w0
+    else:
+        frame = (w0 & jnp.uint32((1 << tbits) - 1)).astype(udtype)
+    bw_word = part_words[jnp.clip((off + round_up_to(width, 4)) // 4, 0, part_words.shape[0] - 1)]
+    n = (bw_word & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    bw = (bw_word >> 16).astype(jnp.int32)
+    bw = jnp.minimum(bw, tbits)  # clamp corrupt widths
+
+    da = off + hdr
+    bit0 = i * bw
+    lo = bit0 // tbits
+    offs = bit0 - lo * tbits
+    hi = (bit0 + jnp.maximum(bw, 1) - 1) // tbits
+    ulo = _fetch_units(part_words, da, lo, width)
+    uhi = _fetch_units(part_words, da, hi, width)
+    v = bits.shr(ulo, offs)
+    v = jnp.where((hi > lo) & (offs != 0), v | bits.shl(uhi, tbits - offs), v)
+    v = v & bits.mask_of_bits(jnp.broadcast_to(bw, v.shape), udtype)
+    x = (v + frame.astype(udtype)).astype(udtype)
+    x = jnp.where((i < n) & (bw > 0), x, jnp.where(i < n, frame.astype(udtype), 0)).astype(udtype)
+    return x, n
 
 
 def _compress_chunk(x, n, opts: CascadedOpts):
@@ -311,13 +364,15 @@ def _compress_partition(data, length, opts: CascadedOpts):
     header = header.at[0].set(nr).at[1].set(nd).at[2].set(ub).at[3].set(jnp.uint8(int(opts.type)))
     header = header.at[4:8].set(bits.units_to_bytes_le(input_bytes.astype(jnp.uint32)[None]))
 
-    # fallback body: raw elements at roundUp(8, w), padded to 4B
+    # fallback body: raw elements at roundUp(8, w), padded to 4B.
+    # raw_start is static, so this is a concat + mask, not a gather.
     raw_start = round_up_to(PARTITION_HEADER, w)
     t = jnp.arange(pmax, dtype=jnp.int32)
+    shifted = jnp.concatenate([jnp.zeros((raw_start,), jnp.uint8), padded])
+    if shifted.shape[0] < pmax:
+        shifted = jnp.concatenate([shifted, jnp.zeros((pmax - shifted.shape[0],), jnp.uint8)])
     raw_body = jnp.where(
-        (t >= raw_start) & (t < raw_start + input_bytes),
-        padded[jnp.clip(t - raw_start, 0, padded.shape[0] - 1)],
-        0,
+        (t >= raw_start) & (t < raw_start + input_bytes), shifted[:pmax], 0
     ).astype(jnp.uint8)
     fallback_size = round_up_to(PARTITION_HEADER, w) + round_up_to_dyn(input_bytes, 4)
 
@@ -330,14 +385,14 @@ def _compress_partition(data, length, opts: CascadedOpts):
     return out, size.astype(jnp.int32)
 
 
-def _walk_chunks(part, comp_size, opts: CascadedOpts, k: int):
+def _walk_chunks(part_words, total_bytes: int, comp_size, opts: CascadedOpts, k: int):
     """Chunk start offsets via the reference's pointer walk (scan over K)."""
     w = width_of(opts.type)
     start0 = round_up_to(PARTITION_HEADER, w)
 
     def step(pos, _):
-        word = bits.bytes_to_units_le(bits.read_section(part, pos, 4), 4)[0]
-        total = jnp.minimum(word, jnp.uint32(part.shape[0] + 8)).astype(jnp.int32)
+        word = part_words[jnp.clip(pos // 4, 0, part_words.shape[0] - 1)]
+        total = jnp.minimum(word, jnp.uint32(total_bytes + 8)).astype(jnp.int32)
         in_range = pos < (comp_size // 4) * 4
         nxt = jnp.where(in_range, round_up_to_dyn(pos + jnp.maximum(total, 4), w), pos)
         return nxt, (pos, in_range)
@@ -346,13 +401,11 @@ def _walk_chunks(part, comp_size, opts: CascadedOpts, k: int):
     return offs, live, end_pos
 
 
-def _decompress_chunk(part, comp_size, chunk_off, opts: CascadedOpts):
+def _decompress_chunk(part, part_words, comp_size, chunk_off, opts: CascadedOpts):
     """Inverse pipeline for one chunk.  Returns (elems[E], count, ok)."""
     w = width_of(opts.type)
     e = opts.chunk_num_elements
     meta_size = chunk_metadata_size(opts)
-    counts_max = _counts_blob_max(opts)
-    final_max = _final_blob_max(opts)
     end_words = comp_size // 4
 
     ok = (chunk_off + meta_size) // 4 <= end_words
@@ -384,7 +437,7 @@ def _decompress_chunk(part, comp_size, chunk_off, opts: CascadedOpts):
     final_size = blob_sizes[opts.num_rles + 1]
     ok &= in_bounds(final_off, final_size)
     cur_x, cur_n = _read_blob_elems(
-        part, base + final_off, final_size, w, final_max, e, opts.use_bp
+        part_words, base + final_off, final_size, w, e, opts.use_bp
     )
 
     for kind, idx in _inverse_schedule(opts):
@@ -395,7 +448,7 @@ def _decompress_chunk(part, comp_size, chunk_off, opts: CascadedOpts):
             csize = blob_sizes[idx + 1]
             ok &= in_bounds(rle_offsets[idx], csize)
             counts, _ = _read_blob_elems(
-                part, base + rle_offsets[idx], csize, 2, counts_max, e, opts.use_bp
+                part_words, base + rle_offsets[idx], csize, 2, e, opts.use_bp
             )
             cur_x, cur_n = rl.rle_decode(cur_x, counts.astype(jnp.uint16), cur_n, e)
     return cur_x, jnp.where(ok, cur_n, 0), ok
@@ -423,17 +476,22 @@ def _decompress_partition(part, comp_size, out_capacity: int, opts: CascadedOpts
     )
 
     # ---- fallback raw-copy path (reference :1227-1257)
+    # raw_start is static: a slice + mask, not a gather
     raw_start = round_up_to(PARTITION_HEADER, w)
     fb_ok = comp_size >= raw_start + n_elems * w
     t = jnp.arange(out_capacity, dtype=jnp.int32)
-    fb_out = jnp.where(
-        t < n_elems * w, part[jnp.clip(t + raw_start, 0, part.shape[0] - 1)], 0
-    ).astype(jnp.uint8)
+    src = part[raw_start:]
+    if src.shape[0] < out_capacity:
+        src = jnp.concatenate([src, jnp.zeros((out_capacity - src.shape[0],), jnp.uint8)])
+    fb_out = jnp.where(t < n_elems * w, src[:out_capacity], 0).astype(jnp.uint8)
 
     # ---- chunked pipeline path
-    offs, live, end_pos = _walk_chunks(part, comp_size, opts, k)
+    pad4 = (-part.shape[0]) % 4
+    part4 = jnp.concatenate([part, jnp.zeros((pad4,), jnp.uint8)]) if pad4 else part
+    part_words = bits.bytes_to_units_le(part4, 4)
+    offs, live, end_pos = _walk_chunks(part_words, part.shape[0], comp_size, opts, k)
     elems_k, counts_k, ok_k = jax.vmap(
-        lambda off: _decompress_chunk(part, comp_size, off, opts)
+        lambda off: _decompress_chunk(part, part_words, comp_size, off, opts)
     )(offs)
     counts_k = jnp.where(live, counts_k, 0)
     ok_pipeline = jnp.all(ok_k | ~live)
