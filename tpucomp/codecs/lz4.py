@@ -1,0 +1,458 @@
+"""Batched LZ4 block codec.
+
+TPU-native re-design of the reference's warp-cooperative LZ4 kernels
+(compressStream, reference src/LZ4Kernels.hiph:794-969; decompressStream,
+:971-1097).  Streams are standard LZ4 block format: sequences of
+[token][litlen LSIC][literals][u16 LE offset][matchlen LSIC], last sequence
+literals-only, last 5 bytes literal, matches start >= 12 bytes from the end
+(reference :162-174 constants; MAX_OFFSET 65535).
+
+Design (dense vector ops + two small batched loops; no warp ballots):
+
+  compress:
+    - match finding: one key-value sort of (4-byte window, position) gives
+      the exact nearest previous occurrence of every position -- the ideal
+      form of the reference's 2^14-entry hash table (:557-561,634-663),
+      with no collisions
+    - match lengths: exact closed form for offsets <= 8 via per-offset
+      equality runs (reverse cummin), iterative 4-byte extension capped at
+      MAX_EXT_ITERS for larger offsets
+    - greedy parse: literals need no steps -- "next match position" is a
+      dense reverse cummin -- so the batched while_loop advances one
+      *sequence* per iteration
+    - emission: position-driven; every output byte classifies itself from
+      forward-filled per-sequence parameters (token/LSIC/offset bytes are
+      elementwise, literals are one gather)
+
+  decompress:
+    - delimit: batched while_loop over sequences; LSIC parsing uses dense
+      255-run tables (reverse cummin) so each step is O(1) gathers
+    - materialize: per-position match parameters via scatter + forward
+      fill; self-referential (periodic) copies collapse in one step with
+      modular arithmetic (out[dst-off + (t-dst) mod off]); remaining
+      match-of-match chains resolve by pointer doubling with early exit;
+      final bytes are one gather from the literal source
+
+Worst-case sizing mirrors maxSizeOfStream (reference :198-202).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpucomp.core.sizing import lz4_max_compressed_chunk_size
+from tpucomp.core.types import Status
+from tpucomp.utils import bits, permute
+
+MAX_OFFSET = 65535
+MIN_MATCH = 4
+LAST_LITERALS = 5  # reference src/LZ4Kernels.hiph:168
+LAST_VALID_MATCH = 13  # match start <= n - 13 (mirrors the test oracle)
+MAX_EXT_ITERS = 64  # match cap 4 + 4*64 = 260 bytes for offsets > 8
+SMALL_OFFSETS = 8  # exact (uncapped) match lengths for offsets 1..8
+
+_INF = jnp.int32(2**30)
+
+
+def _u32_keys(data):
+    """Little-endian 4-byte window at every position (elementwise)."""
+    d = data.astype(jnp.uint32)
+    k = d
+    for s in range(1, 4):
+        k = k | (jnp.roll(d, -s) << jnp.uint32(8 * s))
+    return k
+
+
+def _rev_cummin(x):
+    return jax.lax.cummin(x, axis=x.ndim - 1, reverse=True)
+
+
+# --------------------------------------------------------------------------
+# compression
+# --------------------------------------------------------------------------
+
+
+def _nearest_prev_occurrence(data, n):
+    """j[i] = largest j < i with data[j:j+4] == data[i:i+4], else -1.
+
+    One stable 2-key sort + one placement sort.
+    """
+    c = data.shape[-1]
+    i = jnp.arange(c, dtype=jnp.int32)
+    key = _u32_keys(data)
+    invalid = (i > n - MIN_MATCH).astype(jnp.int32)
+    sk, sf, sp = jax.lax.sort((key, invalid, i), num_keys=2, is_stable=True)
+    same = (sk == jnp.roll(sk, 1)) & (jnp.roll(sf, 1) == 0) & (sf == 0)
+    same = same.at[0].set(False)
+    prev = jnp.where(same, jnp.roll(sp, 1), -1)
+    return permute.place(prev, sp, jnp.ones((c,), jnp.bool_), c)
+
+
+def _match_lengths(data, n, j):
+    """Length of the common prefix of data[i:] and data[j:] (j = candidate),
+    exact for offsets <= SMALL_OFFSETS, capped extension otherwise."""
+    c = data.shape[-1]
+    i = jnp.arange(c, dtype=jnp.int32)
+    dist = i - j
+    cand = (j >= 0) & (dist <= MAX_OFFSET)
+
+    # exact run lengths for small offsets: eq_d[m] = data[m] == data[m-d];
+    # mlen(i, i-d) = (first m >= i with !eq_d[m]) - i
+    mlen_small = jnp.zeros((c,), jnp.int32)
+    for d in range(1, SMALL_OFFSETS + 1):
+        eq = data == jnp.roll(data, d)
+        nf = _rev_cummin(jnp.where(eq, _INF, i))
+        run = jnp.minimum(nf, n) - i
+        mlen_small = jnp.where(dist == d, run, mlen_small)
+
+    small = cand & (dist <= SMALL_OFFSETS)
+
+    # iterative 4-byte extension for larger offsets (batched early exit)
+    keys = _u32_keys(data)
+    last = c - 1
+
+    def ext_body(carry):
+        mlen, active = carry
+        a = keys[jnp.clip(i + mlen, 0, last)]
+        b = keys[jnp.clip(j + mlen, 0, last)]
+        x = a ^ b
+        # bytes matched within the 4-byte window (little-endian)
+        lcp4 = jnp.where(
+            (x & 0xFF) != 0,
+            0,
+            jnp.where((x & 0xFF00) != 0, 1, jnp.where((x & 0xFF0000) != 0, 2, jnp.where(x != 0, 3, 4))),
+        ).astype(jnp.int32)
+        room = jnp.maximum(n - (i + mlen), 0)
+        step = jnp.minimum(lcp4, room)
+        mlen2 = mlen + jnp.where(active, step, 0)
+        active2 = active & (lcp4 == 4) & (step == 4)
+        return mlen2, active2
+
+    mlen0 = jnp.zeros((c,), jnp.int32)
+    active0 = cand & ~small
+    mlen_big, _ = _bounded_extension(ext_body, mlen0, active0)
+
+    mlen = jnp.where(small, mlen_small, mlen_big)
+    return jnp.where(cand, mlen, 0), dist, cand
+
+
+def _bounded_extension(ext_body, mlen0, active0):
+    def cond(carry):
+        mlen, active, it = carry
+        return jnp.any(active) & (it < MAX_EXT_ITERS)
+
+    def body(carry):
+        mlen, active, it = carry
+        mlen2, active2 = ext_body((mlen, active))
+        return mlen2, active2, it + 1
+
+    mlen, active, _ = jax.lax.while_loop(cond, body, (mlen0, active0, jnp.int32(0)))
+    return mlen, active
+
+
+def _lsic_len(v):
+    """Number of LSIC extension bytes for a token nibble value v (v >= 0);
+    0 when v < 15."""
+    return jnp.where(v >= 15, (v - 15) // 255 + 1, 0).astype(jnp.int32)
+
+
+def _greedy_parse(mlen, dist, cand, n, s_max: int):
+    """Batched greedy parse.  Returns per-sequence arrays + count.
+
+    Sequences: (lit_start in input, lit_len, match_len (0 for last), offset).
+    """
+    c = mlen.shape[-1]
+    i = jnp.arange(c, dtype=jnp.int32)
+    # end rules
+    ok_pos = cand & (i <= n - LAST_VALID_MATCH)
+    m_clamped = jnp.minimum(mlen, jnp.maximum(n - LAST_LITERALS - i, 0))
+    usable = ok_pos & (m_clamped >= MIN_MATCH)
+    nmp = _rev_cummin(jnp.where(usable, i, _INF))  # next match position >= p
+
+    lit_start = jnp.zeros((s_max,), jnp.int32)
+    lit_len = jnp.zeros((s_max,), jnp.int32)
+    match_len = jnp.zeros((s_max,), jnp.int32)
+    offset = jnp.zeros((s_max,), jnp.int32)
+
+    def cond(carry):
+        p, s, done, *_ = carry
+        return ~done & (s < s_max)
+
+    def body(carry):
+        p, s, done, ls, ll, ml, off = carry
+        q = nmp[jnp.clip(p, 0, c - 1)]
+        is_last = (q >= n) | (p >= n)
+        q = jnp.minimum(q, n)
+        m = jnp.where(is_last, 0, m_clamped[jnp.clip(q, 0, c - 1)])
+        o = jnp.where(is_last, 0, dist[jnp.clip(q, 0, c - 1)])
+        ls = ls.at[s].set(p)
+        ll = ll.at[s].set(jnp.where(is_last, n - p, q - p))
+        ml = ml.at[s].set(m)
+        off = off.at[s].set(o)
+        p2 = jnp.where(is_last, n, q + m)
+        return p2, s + 1, is_last, ls, ll, ml, off
+
+    p, s, done, lit_start, lit_len, match_len, offset = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), n <= 0, lit_start, lit_len, match_len, offset)
+    )
+    # n == 0 still needs the final empty-literal sequence? the reference
+    # emits nothing for empty chunks; we mirror by reporting 0 sequences.
+    return lit_start, lit_len, match_len, offset, s
+
+
+def _emit(data, lit_start, lit_len, match_len, offset, num_seqs, out_max: int):
+    """Position-driven emission of the LZ4 byte stream."""
+    s_max = lit_start.shape[-1]
+    si = jnp.arange(s_max, dtype=jnp.int32)
+    valid = si < num_seqs
+    llb = _lsic_len(lit_len)
+    mlb = jnp.where(match_len > 0, _lsic_len(match_len - MIN_MATCH), 0)
+    seq_bytes = jnp.where(
+        valid, 1 + llb + lit_len + jnp.where(match_len > 0, 2 + mlb, 0), 0
+    )
+    inc = jnp.cumsum(seq_bytes)
+    out_start = inc - seq_bytes
+    total = inc[-1]
+
+    # forward-fill per-sequence params over output positions: scatter at
+    # section starts (distinct for valid seqs) + ffill
+    t = jnp.arange(out_max, dtype=jnp.int32)
+
+    def fill(vals):
+        marks = jnp.zeros((out_max,), jnp.int32)
+        idx = jnp.where(valid & (seq_bytes > 0), out_start, out_max)
+        marks = marks.at[idx].set(vals + 1, mode="drop")
+        return permute.ffill(marks, marks != 0) - 1
+
+    sid = fill(si)
+    sid = jnp.clip(sid, 0, s_max - 1)
+    p_start = out_start[sid]
+    p_ll = lit_len[sid]
+    p_llb = llb[sid]
+    p_ml = match_len[sid]
+    p_mlb = mlb[sid]
+    p_off = offset[sid]
+    p_lsrc = lit_start[sid]
+
+    u = t - p_start
+    lit0 = 1 + p_llb
+    off0 = lit0 + p_ll
+    mlx0 = off0 + 2
+
+    tok_l = jnp.minimum(p_ll, 15)
+    tok_m = jnp.where(p_ml > 0, jnp.minimum(p_ml - MIN_MATCH, 15), 0)
+    token = (tok_l << 4) | tok_m
+
+    # LSIC bytes: all 255 except the last
+    lrem = p_ll - 15 - 255 * (p_llb - 1)
+    lit_ext = jnp.where(u - 1 < p_llb - 1, 255, lrem)
+    mrem = p_ml - MIN_MATCH - 15 - 255 * (p_mlb - 1)
+    m_ext = jnp.where(u - mlx0 < p_mlb - 1, 255, mrem)
+
+    lit_byte = data[jnp.clip(p_lsrc + (u - lit0), 0, data.shape[-1] - 1)]
+    off_byte = jnp.where(u == off0, p_off & 0xFF, (p_off >> 8) & 0xFF)
+
+    val = jnp.where(
+        u == 0,
+        token,
+        jnp.where(
+            u < lit0,
+            lit_ext,
+            jnp.where(
+                u < off0,
+                lit_byte.astype(jnp.int32),
+                jnp.where(u < mlx0, off_byte, m_ext),
+            ),
+        ),
+    )
+    out = jnp.where((t < total) & (sid >= 0), val, 0).astype(jnp.uint8)
+    return out, total
+
+
+def _compress_chunk(data, n, out_max: int):
+    c = data.shape[-1]
+    s_max = c // MIN_MATCH + 2
+    j = _nearest_prev_occurrence(data, n)
+    mlen, dist, cand = _match_lengths(data, n, j)
+    ls, ll, ml, off, s = _greedy_parse(mlen, dist, cand, n, s_max)
+    out, total = _emit(data, ls, ll, ml, off, s, out_max)
+    total = jnp.where(n > 0, total, 0)
+    return out, total.astype(jnp.int32)
+
+
+# --------------------------------------------------------------------------
+# decompression
+# --------------------------------------------------------------------------
+
+
+def _delimit(comp, comp_len, out_cap: int, s_max: int):
+    """Sequence boundaries: batched while_loop, one sequence per step."""
+    c = comp.shape[-1]
+    i = jnp.arange(c, dtype=jnp.int32)
+    cb = comp.astype(jnp.int32)
+    # dense LSIC helpers: 255-run lengths and terminator values
+    nn = _rev_cummin(jnp.where(cb != 255, i, _INF))
+    nn = jnp.minimum(nn, c - 1)
+    run255 = nn - i
+    term = cb[nn]
+    ext_total = 255 * run255 + term  # value added beyond the nibble's 15
+    ext_bytes = run255 + 1
+
+    last = c - 1
+    lit_src = jnp.zeros((s_max,), jnp.int32)
+    lit_len = jnp.zeros((s_max,), jnp.int32)
+    out_start = jnp.zeros((s_max,), jnp.int32)
+    match_len = jnp.zeros((s_max,), jnp.int32)
+    offset = jnp.zeros((s_max,), jnp.int32)
+
+    def cond(carry):
+        p, o, s, done, ok, *_ = carry
+        return ~done & (s < s_max)
+
+    def body(carry):
+        p, o, s, done, ok, a_src, a_ll, a_os, a_ml, a_off = carry
+        token = cb[jnp.clip(p, 0, last)]
+        lnib = token >> 4
+        has_l = lnib == 15
+        lb = jnp.where(has_l, ext_bytes[jnp.clip(p + 1, 0, last)], 0)
+        llen = jnp.where(has_l, 15 + ext_total[jnp.clip(p + 1, 0, last)], lnib)
+        src = p + 1 + lb
+        q = src + llen
+        is_last = q >= comp_len
+        off = cb[jnp.clip(q, 0, last)] | (cb[jnp.clip(q + 1, 0, last)] << 8)
+        mnib = token & 15
+        has_m = mnib == 15
+        mb = jnp.where(has_m, ext_bytes[jnp.clip(q + 2, 0, last)], 0)
+        mlen = jnp.where(
+            is_last, 0, MIN_MATCH + jnp.where(has_m, 15 + ext_total[jnp.clip(q + 2, 0, last)], mnib)
+        )
+        ok &= q <= comp_len  # literals in bounds
+        ok &= is_last | ((off >= 1) & (off <= o + llen))
+        ok &= is_last | (q + 2 + mb <= comp_len)  # offset+ext in bounds
+        o2 = o + llen + mlen
+        ok &= o2 <= out_cap
+        a_src = a_src.at[s].set(src)
+        a_ll = a_ll.at[s].set(llen)
+        a_os = a_os.at[s].set(o)
+        a_ml = a_ml.at[s].set(mlen)
+        a_off = a_off.at[s].set(off)
+        p2 = jnp.where(is_last, comp_len, q + 2 + mb)
+        return p2, o2, s + 1, is_last | ~ok, ok, a_src, a_ll, a_os, a_ml, a_off
+
+    init = (
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.int32(0),
+        comp_len <= 0,
+        comp_len >= 0,
+        lit_src,
+        lit_len,
+        out_start,
+        match_len,
+        offset,
+    )
+    p, o, s, done, ok, lit_src, lit_len, out_start, match_len, offset = jax.lax.while_loop(
+        cond, body, init
+    )
+    ok &= done  # ran off s_max without terminating -> corrupt
+    return (lit_src, lit_len, out_start, match_len, offset), s, o, ok
+
+
+def _materialize(comp, seqs, num_seqs, total_out, out_cap: int):
+    lit_src, lit_len, out_start, match_len, offset = seqs
+    s_max = lit_src.shape[-1]
+    si = jnp.arange(s_max, dtype=jnp.int32)
+    valid = (si < num_seqs) & ((lit_len > 0) | (match_len > 0))
+    t = jnp.arange(out_cap, dtype=jnp.int32)
+
+    # forward-fill packed per-sequence params from section starts
+    def fill(vals):
+        marks = jnp.zeros((out_cap,), jnp.int32)
+        idx = jnp.where(valid, out_start, out_cap)
+        marks = marks.at[idx].set(vals + 1, mode="drop")
+        return permute.ffill(marks, marks != 0) - 1
+
+    # literal source delta (comp position - out position) and match params
+    sid = jnp.clip(fill(si), 0, s_max - 1)
+    p_os = out_start[sid]
+    p_dst = p_os + lit_len[sid]  # match destination start
+    p_off = jnp.maximum(offset[sid], 1)
+    p_lsrc = lit_src[sid]
+
+    is_lit = t < p_dst
+    # one-step jump: literals resolve to themselves; match positions jump out
+    # of their own (possibly self-overlapping) copy in closed form
+    jump = jnp.where(is_lit, t, p_dst - p_off + ((t - p_dst) % p_off))
+    jump = jnp.clip(jump, 0, out_cap - 1)
+
+    def cond(carry):
+        cur, resolved, it = carry
+        return (~jnp.all(resolved)) & (it < 24)
+
+    def body(carry):
+        cur, resolved, it = carry
+        cur2 = cur[cur]  # pointer doubling: cur_k = jump^(2^k), literals fixed
+        return cur2, is_lit[cur2], it + 1
+
+    cur, _, _ = jax.lax.while_loop(cond, body, (jump, is_lit[jump], jnp.int32(0)))
+    src = p_lsrc[cur] + (cur - p_os[cur])
+    out = comp[jnp.clip(src, 0, comp.shape[-1] - 1)]
+    return jnp.where(t < total_out, out, 0).astype(jnp.uint8)
+
+
+def _decompress_chunk(comp, comp_len, out_cap: int):
+    c = comp.shape[-1]
+    s_max = c // 3 + 2
+    seqs, s, total, ok = _delimit(comp, comp_len, out_cap, s_max)
+    out = _materialize(comp, seqs, s, total, out_cap)
+    ok &= comp_len >= 0
+    out = jnp.where(ok, out, jnp.zeros_like(out))
+    total = jnp.where(ok, total, 0)
+    status = jnp.where(
+        ok, jnp.int32(int(Status.SUCCESS)), jnp.int32(int(Status.ERROR_CANNOT_DECOMPRESS))
+    )
+    return out, total.astype(jnp.int32), status
+
+
+def _sizes_chunk(comp, comp_len, out_cap: int):
+    """Decompressed-size query: the delimit pass alone (reference
+    lz4BatchGetDecompressSizes runs the kernel without output,
+    src/lowlevel/LZ4CompressionKernels.hip:251-271)."""
+    s_max = comp.shape[-1] // 3 + 2
+    _, _, total, ok = _delimit(comp, comp_len, out_cap, s_max)
+    return jnp.where(ok, total, 0).astype(jnp.int32)
+
+
+# --------------------------------------------------------------------------
+# public batched API
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def compress(data, lengths, opts=None):
+    """Batched LZ4 compression.  data: uint8[B, C]; lengths: int32[B].
+    Returns (comp uint8[B, CMAX], comp_sizes int32[B])."""
+    c = data.shape[-1]
+    out_max = lz4_max_compressed_chunk_size(c)
+    return jax.vmap(lambda d, n: _compress_chunk(d, n.astype(jnp.int32), out_max))(
+        data, lengths
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "out_capacity"))
+def decompress(comp, comp_sizes, opts=None, out_capacity: int = 65536):
+    """Batched LZ4 decompression.
+    Returns (data uint8[B, out_capacity], lengths int32[B], statuses)."""
+    return jax.vmap(
+        lambda d, n: _decompress_chunk(d, n.astype(jnp.int32), out_capacity)
+    )(comp, comp_sizes)
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "out_capacity"))
+def get_decompress_size(comp, comp_sizes, opts=None, out_capacity: int = 1 << 24):
+    return jax.vmap(lambda d, n: _sizes_chunk(d, n.astype(jnp.int32), out_capacity))(
+        comp, comp_sizes
+    )
