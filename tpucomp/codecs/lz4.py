@@ -51,7 +51,7 @@ MAX_OFFSET = 65535
 MIN_MATCH = 4
 LAST_LITERALS = 5  # reference src/LZ4Kernels.hiph:168
 LAST_VALID_MATCH = 13  # match start <= n - 13 (mirrors the test oracle)
-MAX_EXT_ITERS = 64  # match cap 4 + 4*64 = 260 bytes for offsets > 8
+MAX_EXT_ITERS = 12  # match cap 12*4 = 48 bytes for offsets > 8
 SMALL_OFFSETS = 8  # exact (uncapped) match lengths for offsets 1..8
 
 _INF = jnp.int32(2**30)
@@ -172,35 +172,43 @@ def _greedy_parse(mlen, dist, cand, n, s_max: int):
     usable = ok_pos & (m_clamped >= MIN_MATCH)
     nmp = _rev_cummin(jnp.where(usable, i, _INF))  # next match position >= p
 
-    lit_start = jnp.zeros((s_max,), jnp.int32)
-    lit_len = jnp.zeros((s_max,), jnp.int32)
-    match_len = jnp.zeros((s_max,), jnp.int32)
-    offset = jnp.zeros((s_max,), jnp.int32)
+    # one row per sequence: (lit_start, lit_len, match_len, offset); rows
+    # write with a single dynamic-update-slice, and UNROLL sequences advance
+    # per while iteration to amortize the ~20us TPU loop-step overhead
+    seqs = jnp.zeros((s_max, 4), jnp.int32)
+    unroll = 8
 
-    def cond(carry):
-        p, s, done, *_ = carry
-        return ~done & (s < s_max)
-
-    def body(carry):
-        p, s, done, ls, ll, ml, off = carry
+    def step(carry):
+        p, s, done, rows = carry
         q = nmp[jnp.clip(p, 0, c - 1)]
         is_last = (q >= n) | (p >= n)
         q = jnp.minimum(q, n)
         m = jnp.where(is_last, 0, m_clamped[jnp.clip(q, 0, c - 1)])
         o = jnp.where(is_last, 0, dist[jnp.clip(q, 0, c - 1)])
-        ls = ls.at[s].set(p)
-        ll = ll.at[s].set(jnp.where(is_last, n - p, q - p))
-        ml = ml.at[s].set(m)
-        off = off.at[s].set(o)
+        row = jnp.stack([p, jnp.where(is_last, n - p, q - p), m, o])
+        rows = rows.at[jnp.where(done, s_max, s)].set(row, mode="drop")
         p2 = jnp.where(is_last, n, q + m)
-        return p2, s + 1, is_last, ls, ll, ml, off
+        return (
+            jnp.where(done, p, p2),
+            jnp.where(done, s, s + 1),
+            done | is_last,
+            rows,
+        )
 
-    p, s, done, lit_start, lit_len, match_len, offset = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(0), n <= 0, lit_start, lit_len, match_len, offset)
+    def body(carry):
+        for _ in range(unroll):
+            carry = step(carry)
+        return carry
+
+    def cond(carry):
+        p, s, done, rows = carry
+        return ~done & (s < s_max)
+
+    p, s, done, seqs = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), n <= 0, seqs)
     )
-    # n == 0 still needs the final empty-literal sequence? the reference
-    # emits nothing for empty chunks; we mirror by reporting 0 sequences.
-    return lit_start, lit_len, match_len, offset, s
+    # the reference emits nothing for empty chunks; 0 sequences mirrors that
+    return seqs[:, 0], seqs[:, 1], seqs[:, 2], seqs[:, 3], s
 
 
 def _emit(data, lit_start, lit_len, match_len, offset, num_seqs, out_max: int):
@@ -302,18 +310,13 @@ def _delimit(comp, comp_len, out_cap: int, s_max: int):
     ext_bytes = run255 + 1
 
     last = c - 1
-    lit_src = jnp.zeros((s_max,), jnp.int32)
-    lit_len = jnp.zeros((s_max,), jnp.int32)
-    out_start = jnp.zeros((s_max,), jnp.int32)
-    match_len = jnp.zeros((s_max,), jnp.int32)
-    offset = jnp.zeros((s_max,), jnp.int32)
+    # one row per sequence: (lit_src, lit_len, out_start, match_len, offset);
+    # UNROLL sequences per while iteration amortize the TPU loop-step cost
+    seqs = jnp.zeros((s_max, 5), jnp.int32)
+    unroll = 8
 
-    def cond(carry):
-        p, o, s, done, ok, *_ = carry
-        return ~done & (s < s_max)
-
-    def body(carry):
-        p, o, s, done, ok, a_src, a_ll, a_os, a_ml, a_off = carry
+    def step(carry):
+        p, o, s, done, ok, rows = carry
         token = cb[jnp.clip(p, 0, last)]
         lnib = token >> 4
         has_l = lnib == 15
@@ -329,36 +332,38 @@ def _delimit(comp, comp_len, out_cap: int, s_max: int):
         mlen = jnp.where(
             is_last, 0, MIN_MATCH + jnp.where(has_m, 15 + ext_total[jnp.clip(q + 2, 0, last)], mnib)
         )
-        ok &= q <= comp_len  # literals in bounds
-        ok &= is_last | ((off >= 1) & (off <= o + llen))
-        ok &= is_last | (q + 2 + mb <= comp_len)  # offset+ext in bounds
+        step_ok = q <= comp_len  # literals in bounds
+        step_ok &= is_last | ((off >= 1) & (off <= o + llen))
+        step_ok &= is_last | (q + 2 + mb <= comp_len)  # offset+ext in bounds
         o2 = o + llen + mlen
-        ok &= o2 <= out_cap
-        a_src = a_src.at[s].set(src)
-        a_ll = a_ll.at[s].set(llen)
-        a_os = a_os.at[s].set(o)
-        a_ml = a_ml.at[s].set(mlen)
-        a_off = a_off.at[s].set(off)
+        step_ok &= o2 <= out_cap
+        row = jnp.stack([src, llen, o, mlen, off])
+        rows = rows.at[jnp.where(done, s_max, s)].set(row, mode="drop")
         p2 = jnp.where(is_last, comp_len, q + 2 + mb)
-        return p2, o2, s + 1, is_last | ~ok, ok, a_src, a_ll, a_os, a_ml, a_off
+        ok2 = ok & (done | step_ok)
+        return (
+            jnp.where(done, p, p2),
+            jnp.where(done, o, o2),
+            jnp.where(done, s, s + 1),
+            done | is_last | ~step_ok,
+            ok2,
+            rows,
+        )
 
-    init = (
-        jnp.int32(0),
-        jnp.int32(0),
-        jnp.int32(0),
-        comp_len <= 0,
-        comp_len >= 0,
-        lit_src,
-        lit_len,
-        out_start,
-        match_len,
-        offset,
-    )
-    p, o, s, done, ok, lit_src, lit_len, out_start, match_len, offset = jax.lax.while_loop(
-        cond, body, init
-    )
+    def body(carry):
+        for _ in range(unroll):
+            carry = step(carry)
+        return carry
+
+    def cond(carry):
+        p, o, s, done, ok, rows = carry
+        return ~done & (s < s_max)
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.int32(0), comp_len <= 0, comp_len >= 0, seqs)
+    p, o, s, done, ok, seqs = jax.lax.while_loop(cond, body, init)
     ok &= done  # ran off s_max without terminating -> corrupt
-    return (lit_src, lit_len, out_start, match_len, offset), s, o, ok
+    arrays = (seqs[:, 0], seqs[:, 1], seqs[:, 2], seqs[:, 3], seqs[:, 4])
+    return arrays, s, o, ok
 
 
 def _materialize(comp, seqs, num_seqs, total_out, out_cap: int):
