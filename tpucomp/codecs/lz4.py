@@ -280,17 +280,6 @@ def _emit(data, lit_start, lit_len, match_len, offset, num_seqs, out_max: int):
     return out, total
 
 
-def _compress_chunk(data, n, out_max: int):
-    c = data.shape[-1]
-    s_max = c // MIN_MATCH + 2
-    j = _nearest_prev_occurrence(data, n)
-    mlen, dist, cand = _match_lengths(data, n, j)
-    ls, ll, ml, off, s = _greedy_parse(mlen, dist, cand, n, s_max)
-    out, total = _emit(data, ls, ll, ml, off, s, out_max)
-    total = jnp.where(n > 0, total, 0)
-    return out, total.astype(jnp.int32)
-
-
 # --------------------------------------------------------------------------
 # decompression
 # --------------------------------------------------------------------------
@@ -408,56 +397,80 @@ def _materialize(comp, seqs, num_seqs, total_out, out_cap: int):
     return jnp.where(t < total_out, out, 0).astype(jnp.uint8)
 
 
-def _decompress_chunk(comp, comp_len, out_cap: int):
-    c = comp.shape[-1]
-    s_max = c // 3 + 2
-    seqs, s, total, ok = _delimit(comp, comp_len, out_cap, s_max)
-    out = _materialize(comp, seqs, s, total, out_cap)
-    ok &= comp_len >= 0
-    out = jnp.where(ok, out, jnp.zeros_like(out))
-    total = jnp.where(ok, total, 0)
-    status = jnp.where(
-        ok, jnp.int32(int(Status.SUCCESS)), jnp.int32(int(Status.ERROR_CANNOT_DECOMPRESS))
-    )
-    return out, total.astype(jnp.int32), status
-
-
-def _sizes_chunk(comp, comp_len, out_cap: int):
-    """Decompressed-size query: the delimit pass alone (reference
-    lz4BatchGetDecompressSizes runs the kernel without output,
-    src/lowlevel/LZ4CompressionKernels.hip:251-271)."""
-    s_max = comp.shape[-1] // 3 + 2
-    _, _, total, ok = _delimit(comp, comp_len, out_cap, s_max)
-    return jnp.where(ok, total, 0).astype(jnp.int32)
-
-
 # --------------------------------------------------------------------------
 # public batched API
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("opts",))
+# Stages are jitted separately: one fused program for the whole codec makes
+# XLA's compile time explode (sort + two while loops + emission); staged
+# jits compile in bounded time, hit the persistent cache, and add only
+# ~ms of dispatch.
+
+_jit_match = jax.jit(
+    jax.vmap(
+        lambda d, n: (lambda j: _match_lengths(d, n, j))(_nearest_prev_occurrence(d, n))
+    )
+)
+
+
+@functools.partial(jax.jit, static_argnames=("s_max",))
+def _jit_parse(mlen, dist, cand, lengths, s_max):
+    return jax.vmap(lambda m, dd, cc, n: _greedy_parse(m, dd, cc, n, s_max))(
+        mlen, dist, cand, lengths
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("out_max",))
+def _jit_emit(data, ls, ll, ml, off, s, lengths, out_max):
+    out, total = jax.vmap(
+        lambda d, a1, a2, a3, a4, ss: _emit(d, a1, a2, a3, a4, ss, out_max)
+    )(data, ls, ll, ml, off, s)
+    total = jnp.where(lengths > 0, total, 0)
+    return out, total.astype(jnp.int32)
+
+
 def compress(data, lengths, opts=None):
     """Batched LZ4 compression.  data: uint8[B, C]; lengths: int32[B].
     Returns (comp uint8[B, CMAX], comp_sizes int32[B])."""
     c = data.shape[-1]
     out_max = lz4_max_compressed_chunk_size(c)
-    return jax.vmap(lambda d, n: _compress_chunk(d, n.astype(jnp.int32), out_max))(
-        data, lengths
+    s_max = c // MIN_MATCH + 2
+    lengths = lengths.astype(jnp.int32)
+    mlen, dist, cand = _jit_match(data, lengths)
+    ls, ll, ml, off, s = _jit_parse(mlen, dist, cand, lengths, s_max)
+    return _jit_emit(data, ls, ll, ml, off, s, lengths, out_max)
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap", "s_max"))
+def _jit_delimit(comp, comp_sizes, out_cap, s_max):
+    return jax.vmap(lambda d, n: _delimit(d, n, out_cap, s_max))(
+        comp, comp_sizes.astype(jnp.int32)
     )
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "out_capacity"))
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def _jit_materialize(comp, seqs, s, total, ok, out_cap):
+    out = jax.vmap(lambda d, sq, ss, tt: _materialize(d, sq, ss, tt, out_cap))(
+        comp, seqs, s, total
+    )
+    out = jnp.where(ok[:, None], out, 0).astype(jnp.uint8)
+    total = jnp.where(ok, total, 0).astype(jnp.int32)
+    status = jnp.where(
+        ok, jnp.int32(int(Status.SUCCESS)), jnp.int32(int(Status.ERROR_CANNOT_DECOMPRESS))
+    )
+    return out, total, status
+
+
 def decompress(comp, comp_sizes, opts=None, out_capacity: int = 65536):
     """Batched LZ4 decompression.
     Returns (data uint8[B, out_capacity], lengths int32[B], statuses)."""
-    return jax.vmap(
-        lambda d, n: _decompress_chunk(d, n.astype(jnp.int32), out_capacity)
-    )(comp, comp_sizes)
+    s_max = comp.shape[-1] // 3 + 2
+    seqs, s, total, ok = _jit_delimit(comp, comp_sizes, out_capacity, s_max)
+    return _jit_materialize(comp, seqs, s, total, ok, out_capacity)
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "out_capacity"))
 def get_decompress_size(comp, comp_sizes, opts=None, out_capacity: int = 1 << 24):
-    return jax.vmap(lambda d, n: _sizes_chunk(d, n.astype(jnp.int32), out_capacity))(
-        comp, comp_sizes
-    )
+    s_max = comp.shape[-1] // 3 + 2
+    _, _, total, ok = _jit_delimit(comp, comp_sizes, out_capacity, s_max)
+    return jnp.where(ok, total, 0).astype(jnp.int32)
