@@ -45,6 +45,7 @@ import jax.numpy as jnp
 
 from tpucomp.core.sizing import lz4_max_compressed_chunk_size
 from tpucomp.core.types import Status
+from tpucomp.codecs import lz77
 from tpucomp.utils import bits, permute
 
 MAX_OFFSET = 65535
@@ -57,100 +58,9 @@ SMALL_OFFSETS = 8  # exact (uncapped) match lengths for offsets 1..8
 _INF = jnp.int32(2**30)
 
 
-def _u32_keys(data):
-    """Little-endian 4-byte window at every position (elementwise)."""
-    d = data.astype(jnp.uint32)
-    k = d
-    for s in range(1, 4):
-        k = k | (jnp.roll(d, -s) << jnp.uint32(8 * s))
-    return k
-
-
-def _rev_cummin(x):
-    return jax.lax.cummin(x, axis=x.ndim - 1, reverse=True)
-
-
 # --------------------------------------------------------------------------
 # compression
 # --------------------------------------------------------------------------
-
-
-def _nearest_prev_occurrence(data, n):
-    """j[i] = largest j < i with data[j:j+4] == data[i:i+4], else -1.
-
-    One stable 2-key sort + one placement sort.
-    """
-    c = data.shape[-1]
-    i = jnp.arange(c, dtype=jnp.int32)
-    key = _u32_keys(data)
-    invalid = (i > n - MIN_MATCH).astype(jnp.int32)
-    sk, sf, sp = jax.lax.sort((key, invalid, i), num_keys=2, is_stable=True)
-    same = (sk == jnp.roll(sk, 1)) & (jnp.roll(sf, 1) == 0) & (sf == 0)
-    same = same.at[0].set(False)
-    prev = jnp.where(same, jnp.roll(sp, 1), -1)
-    return permute.place(prev, sp, jnp.ones((c,), jnp.bool_), c)
-
-
-def _match_lengths(data, n, j):
-    """Length of the common prefix of data[i:] and data[j:] (j = candidate),
-    exact for offsets <= SMALL_OFFSETS, capped extension otherwise."""
-    c = data.shape[-1]
-    i = jnp.arange(c, dtype=jnp.int32)
-    dist = i - j
-    cand = (j >= 0) & (dist <= MAX_OFFSET)
-
-    # exact run lengths for small offsets: eq_d[m] = data[m] == data[m-d];
-    # mlen(i, i-d) = (first m >= i with !eq_d[m]) - i
-    mlen_small = jnp.zeros((c,), jnp.int32)
-    for d in range(1, SMALL_OFFSETS + 1):
-        eq = data == jnp.roll(data, d)
-        nf = _rev_cummin(jnp.where(eq, _INF, i))
-        run = jnp.minimum(nf, n) - i
-        mlen_small = jnp.where(dist == d, run, mlen_small)
-
-    small = cand & (dist <= SMALL_OFFSETS)
-
-    # iterative 4-byte extension for larger offsets (batched early exit)
-    keys = _u32_keys(data)
-    last = c - 1
-
-    def ext_body(carry):
-        mlen, active = carry
-        a = keys[jnp.clip(i + mlen, 0, last)]
-        b = keys[jnp.clip(j + mlen, 0, last)]
-        x = a ^ b
-        # bytes matched within the 4-byte window (little-endian)
-        lcp4 = jnp.where(
-            (x & 0xFF) != 0,
-            0,
-            jnp.where((x & 0xFF00) != 0, 1, jnp.where((x & 0xFF0000) != 0, 2, jnp.where(x != 0, 3, 4))),
-        ).astype(jnp.int32)
-        room = jnp.maximum(n - (i + mlen), 0)
-        step = jnp.minimum(lcp4, room)
-        mlen2 = mlen + jnp.where(active, step, 0)
-        active2 = active & (lcp4 == 4) & (step == 4)
-        return mlen2, active2
-
-    mlen0 = jnp.zeros((c,), jnp.int32)
-    active0 = cand & ~small
-    mlen_big, _ = _bounded_extension(ext_body, mlen0, active0)
-
-    mlen = jnp.where(small, mlen_small, mlen_big)
-    return jnp.where(cand, mlen, 0), dist, cand
-
-
-def _bounded_extension(ext_body, mlen0, active0):
-    def cond(carry):
-        mlen, active, it = carry
-        return jnp.any(active) & (it < MAX_EXT_ITERS)
-
-    def body(carry):
-        mlen, active, it = carry
-        mlen2, active2 = ext_body((mlen, active))
-        return mlen2, active2, it + 1
-
-    mlen, active, _ = jax.lax.while_loop(cond, body, (mlen0, active0, jnp.int32(0)))
-    return mlen, active
 
 
 def _lsic_len(v):
@@ -170,7 +80,7 @@ def _greedy_parse(mlen, dist, cand, n, s_max: int):
     ok_pos = cand & (i <= n - LAST_VALID_MATCH)
     m_clamped = jnp.minimum(mlen, jnp.maximum(n - LAST_LITERALS - i, 0))
     usable = ok_pos & (m_clamped >= MIN_MATCH)
-    nmp = _rev_cummin(jnp.where(usable, i, _INF))  # next match position >= p
+    nmp = lz77.rev_cummin(jnp.where(usable, i, _INF))  # next match position >= p
 
     # one row per sequence: (lit_start, lit_len, match_len, offset); rows
     # write with a single dynamic-update-slice, and UNROLL sequences advance
@@ -291,7 +201,7 @@ def _delimit(comp, comp_len, out_cap: int, s_max: int):
     i = jnp.arange(c, dtype=jnp.int32)
     cb = comp.astype(jnp.int32)
     # dense LSIC helpers: 255-run lengths and terminator values
-    nn = _rev_cummin(jnp.where(cb != 255, i, _INF))
+    nn = lz77.rev_cummin(jnp.where(cb != 255, i, _INF))
     nn = jnp.minimum(nn, c - 1)
     run255 = nn - i
     term = cb[nn]
@@ -355,48 +265,6 @@ def _delimit(comp, comp_len, out_cap: int, s_max: int):
     return arrays, s, o, ok
 
 
-def _materialize(comp, seqs, num_seqs, total_out, out_cap: int):
-    lit_src, lit_len, out_start, match_len, offset = seqs
-    s_max = lit_src.shape[-1]
-    si = jnp.arange(s_max, dtype=jnp.int32)
-    valid = (si < num_seqs) & ((lit_len > 0) | (match_len > 0))
-    t = jnp.arange(out_cap, dtype=jnp.int32)
-
-    # forward-fill packed per-sequence params from section starts
-    def fill(vals):
-        marks = jnp.zeros((out_cap,), jnp.int32)
-        idx = jnp.where(valid, out_start, out_cap)
-        marks = marks.at[idx].set(vals + 1, mode="drop")
-        return permute.ffill(marks, marks != 0) - 1
-
-    # literal source delta (comp position - out position) and match params
-    sid = jnp.clip(fill(si), 0, s_max - 1)
-    p_os = out_start[sid]
-    p_dst = p_os + lit_len[sid]  # match destination start
-    p_off = jnp.maximum(offset[sid], 1)
-    p_lsrc = lit_src[sid]
-
-    is_lit = t < p_dst
-    # one-step jump: literals resolve to themselves; match positions jump out
-    # of their own (possibly self-overlapping) copy in closed form
-    jump = jnp.where(is_lit, t, p_dst - p_off + ((t - p_dst) % p_off))
-    jump = jnp.clip(jump, 0, out_cap - 1)
-
-    def cond(carry):
-        cur, resolved, it = carry
-        return (~jnp.all(resolved)) & (it < 24)
-
-    def body(carry):
-        cur, resolved, it = carry
-        cur2 = cur[cur]  # pointer doubling: cur_k = jump^(2^k), literals fixed
-        return cur2, is_lit[cur2], it + 1
-
-    cur, _, _ = jax.lax.while_loop(cond, body, (jump, is_lit[jump], jnp.int32(0)))
-    src = p_lsrc[cur] + (cur - p_os[cur])
-    out = comp[jnp.clip(src, 0, comp.shape[-1] - 1)]
-    return jnp.where(t < total_out, out, 0).astype(jnp.uint8)
-
-
 # --------------------------------------------------------------------------
 # public batched API
 # --------------------------------------------------------------------------
@@ -409,7 +277,7 @@ def _materialize(comp, seqs, num_seqs, total_out, out_cap: int):
 
 _jit_match = jax.jit(
     jax.vmap(
-        lambda d, n: (lambda j: _match_lengths(d, n, j))(_nearest_prev_occurrence(d, n))
+        lambda d, n: (lambda j: lz77.match_lengths(d, n, j, MAX_OFFSET, SMALL_OFFSETS, MAX_EXT_ITERS))(lz77.nearest_prev_occurrence(d, n))
     )
 )
 
@@ -451,7 +319,7 @@ def _jit_delimit(comp, comp_sizes, out_cap, s_max):
 
 @functools.partial(jax.jit, static_argnames=("out_cap",))
 def _jit_materialize(comp, seqs, s, total, ok, out_cap):
-    out = jax.vmap(lambda d, sq, ss, tt: _materialize(d, sq, ss, tt, out_cap))(
+    out = jax.vmap(lambda d, sq, ss, tt: lz77.materialize(d, sq, tt, out_cap, num_seqs=ss))(
         comp, seqs, s, total
     )
     out = jnp.where(ok[:, None], out, 0).astype(jnp.uint8)

@@ -1,0 +1,151 @@
+"""Shared dense LZ77 machinery used by the LZ4 and Snappy codecs.
+
+Both formats reduce to the same sequence representation -- (literal source,
+literal length, output start, match length, offset) per sequence -- and the
+same two hard sub-problems on a vector machine:
+
+  - match finding during compression: a stable kv-sort of (4-byte window,
+    position) yields the exact nearest previous occurrence of every
+    position (the ideal form of the reference's per-format hash tables,
+    src/LZ4Kernels.hiph:557-561 and src/snappy/compression.hiph:158)
+  - materialization during decompression: literal bytes are a single
+    gather, self-overlapping copies collapse in closed form with modular
+    arithmetic, and match-of-match chains resolve by pointer doubling
+
+See tpucomp/codecs/lz4.py for the full design narrative.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpucomp.utils import permute
+
+MIN_MATCH = 4
+_INF = jnp.int32(2**30)
+
+
+def u32_keys(data):
+    """Little-endian 4-byte window at every position (elementwise)."""
+    d = data.astype(jnp.uint32)
+    k = d
+    for s in range(1, 4):
+        k = k | (jnp.roll(d, -s) << jnp.uint32(8 * s))
+    return k
+
+
+def rev_cummin(x):
+    return jax.lax.cummin(x, axis=x.ndim - 1, reverse=True)
+
+
+def nearest_prev_occurrence(data, n):
+    """j[i] = largest j < i with data[j:j+4] == data[i:i+4], else -1.
+
+    One stable 2-key sort + one placement sort.
+    """
+    c = data.shape[-1]
+    i = jnp.arange(c, dtype=jnp.int32)
+    key = u32_keys(data)
+    invalid = (i > n - MIN_MATCH).astype(jnp.int32)
+    sk, sf, sp = jax.lax.sort((key, invalid, i), num_keys=2, is_stable=True)
+    same = (sk == jnp.roll(sk, 1)) & (jnp.roll(sf, 1) == 0) & (sf == 0)
+    same = same.at[0].set(False)
+    prev = jnp.where(same, jnp.roll(sp, 1), -1)
+    return permute.place(prev, sp, jnp.ones((c,), jnp.bool_), c)
+
+
+def match_lengths(data, n, j, max_offset: int, small_offsets: int, max_ext_iters: int):
+    """Common-prefix length of data[i:] vs data[j:]: exact for offsets <=
+    small_offsets via per-offset equality runs, capped 4-byte-window
+    extension otherwise.  Returns (mlen, dist, cand)."""
+    c = data.shape[-1]
+    i = jnp.arange(c, dtype=jnp.int32)
+    dist = i - j
+    cand = (j >= 0) & (dist <= max_offset)
+
+    mlen_small = jnp.zeros((c,), jnp.int32)
+    for d in range(1, small_offsets + 1):
+        eq = data == jnp.roll(data, d)
+        nf = rev_cummin(jnp.where(eq, _INF, i))
+        run = jnp.minimum(nf, n) - i
+        mlen_small = jnp.where(dist == d, run, mlen_small)
+
+    small = cand & (dist <= small_offsets)
+
+    keys = u32_keys(data)
+    last = c - 1
+
+    def body(carry):
+        mlen, active, it = carry
+        a = keys[jnp.clip(i + mlen, 0, last)]
+        b = keys[jnp.clip(j + mlen, 0, last)]
+        x = a ^ b
+        lcp4 = jnp.where(
+            (x & 0xFF) != 0,
+            0,
+            jnp.where(
+                (x & 0xFF00) != 0, 1, jnp.where((x & 0xFF0000) != 0, 2, jnp.where(x != 0, 3, 4))
+            ),
+        ).astype(jnp.int32)
+        room = jnp.maximum(n - (i + mlen), 0)
+        step = jnp.minimum(lcp4, room)
+        mlen2 = mlen + jnp.where(active, step, 0)
+        active2 = active & (lcp4 == 4) & (step == 4)
+        return mlen2, active2, it + 1
+
+    def cond(carry):
+        _, active, it = carry
+        return jnp.any(active) & (it < max_ext_iters)
+
+    mlen_big, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((c,), jnp.int32), cand & ~small, jnp.int32(0))
+    )
+
+    mlen = jnp.where(small, mlen_small, mlen_big)
+    return jnp.where(cand, mlen, 0), dist, cand
+
+
+def materialize(src_bytes, seqs, total_out, out_cap: int, num_seqs=None):
+    """Expand sequences into output bytes.
+
+    seqs = (lit_src, lit_len, out_start, match_len, offset) arrays; literal
+    bytes come from ``src_bytes`` (the compressed stream for decompression).
+    """
+    lit_src, lit_len, out_start, match_len, offset = seqs
+    s_max = lit_src.shape[-1]
+    si = jnp.arange(s_max, dtype=jnp.int32)
+    valid = (lit_len > 0) | (match_len > 0)
+    if num_seqs is not None:
+        valid &= si < num_seqs
+    t = jnp.arange(out_cap, dtype=jnp.int32)
+
+    marks = jnp.zeros((out_cap,), jnp.int32)
+    idx = jnp.where(valid, out_start, out_cap)
+    marks = marks.at[idx].set(si + 1, mode="drop")
+    sid = jnp.clip(permute.ffill(marks, marks != 0) - 1, 0, s_max - 1)
+
+    p_os = out_start[sid]
+    p_dst = p_os + lit_len[sid]  # match destination start
+    p_off = jnp.maximum(offset[sid], 1)
+    p_lsrc = lit_src[sid]
+
+    is_lit = t < p_dst
+    # literals resolve to themselves; match positions jump out of their own
+    # (possibly self-overlapping) copy in closed form
+    jump = jnp.where(is_lit, t, p_dst - p_off + ((t - p_dst) % p_off))
+    jump = jnp.clip(jump, 0, out_cap - 1)
+
+    def cond(carry):
+        cur, resolved, it = carry
+        return (~jnp.all(resolved)) & (it < 24)
+
+    def body(carry):
+        cur, resolved, it = carry
+        cur2 = cur[cur]  # pointer doubling: cur_k = jump^(2^k), literals fixed
+        return cur2, is_lit[cur2], it + 1
+
+    cur, _, _ = jax.lax.while_loop(cond, body, (jump, is_lit[jump], jnp.int32(0)))
+    src = p_lsrc[cur] + (cur - p_os[cur])
+    out = src_bytes[jnp.clip(src, 0, src_bytes.shape[-1] - 1)]
+    return jnp.where(t < total_out, out, 0).astype(jnp.uint8)
