@@ -1,0 +1,126 @@
+"""High-level manager tests.
+
+Mirrors the reference HLIF tier (tests/test_lz4.cpp:93-276,
+test_cascaded.cpp): manager round-trips across formats, tiny/unaligned/
+multi-chunk buffers, format auto-detection via create_manager, header
+invariants, and the NotSupported stubs.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpucomp.core.options import CascadedOpts
+from tpucomp.core.types import Status
+from tpucomp.highlevel import headers as hdr
+from tpucomp.highlevel.manager import (
+    CascadedManager,
+    LZ4Manager,
+    SnappyManager,
+    create_manager,
+)
+from tpucomp.lowlevel import stubs
+
+
+def _mk_payload(rng, n):
+    return np.repeat(rng.integers(0, 40, n), rng.integers(1, 9, n))[:n].astype(np.uint8).tobytes()
+
+
+MANAGERS = [
+    lambda: LZ4Manager(uncomp_chunk_size=4096),
+    lambda: SnappyManager(uncomp_chunk_size=4096),
+    lambda: CascadedManager(uncomp_chunk_size=4096),
+]
+
+
+@pytest.mark.parametrize("mk", MANAGERS)
+def test_manager_roundtrip(rng, mk):
+    mgr = mk()
+    payload = _mk_payload(rng, 20000)  # multi-chunk, unaligned tail
+    cfg = mgr.configure_compression(len(payload))
+    assert cfg.num_chunks == 5
+    artifact, size = mgr.compress(payload)
+    assert size <= cfg.max_compressed_buffer_size
+    assert mgr.get_compressed_output_size(artifact) == size
+
+    dcfg = mgr.configure_decompression(artifact)
+    assert dcfg.decomp_data_size == len(payload)
+    assert dcfg.num_chunks == 5
+    out, statuses = mgr.decompress(artifact)
+    assert (np.asarray(statuses) == Status.SUCCESS).all()
+    assert np.asarray(out).tobytes() == payload
+
+
+@pytest.mark.parametrize("mk", MANAGERS)
+def test_create_manager_autodetect(rng, mk):
+    mgr = mk()
+    payload = _mk_payload(rng, 9000)
+    artifact, _ = mgr.compress(payload)
+    # a fresh manager reconstructed only from the artifact
+    mgr2 = create_manager(artifact)
+    assert type(mgr2) is type(mgr)
+    assert mgr2.uncomp_chunk_size == mgr.uncomp_chunk_size
+    out, statuses = mgr2.decompress(artifact)
+    assert (np.asarray(statuses) == Status.SUCCESS).all()
+    assert np.asarray(out).tobytes() == payload
+
+
+def test_header_fields(rng):
+    mgr = LZ4Manager(uncomp_chunk_size=4096)
+    payload = _mk_payload(rng, 10000)
+    artifact, size = mgr.compress(payload)
+    head = hdr.CommonHeader.unpack(np.asarray(artifact[:64]).tobytes())
+    assert head.magic_number == 0 and (head.major_version, head.minor_version) == (2, 2)
+    assert head.format == hdr.FORMAT_LZ4
+    assert head.decomp_data_size == 10000
+    assert head.num_chunks == 3
+    assert head.uncomp_chunk_size == 4096
+    assert head.comp_data_offset == hdr.data_region_offset(hdr.FORMAT_LZ4, 3)
+    assert head.comp_data_offset + head.comp_data_size == size
+    # chunk offsets ascend from 0 and sizes are consistent
+    sec = hdr.sections_offset(hdr.FORMAT_LZ4)
+    raw = np.asarray(artifact[sec : sec + 48])
+    offs = raw[:24].view("<u8")
+    szs = raw[24:48].view("<u8")
+    assert offs[0] == 0
+    assert (offs[1:] == np.cumsum(szs)[:-1]).all()
+    assert offs[-1] + szs[-1] == head.comp_data_size
+
+
+@pytest.mark.parametrize("n", [1, 5, 4095, 4096, 4097])
+def test_tiny_and_boundary_sizes(rng, n):
+    mgr = SnappyManager(uncomp_chunk_size=4096)
+    payload = bytes(rng.integers(0, 5, n).astype(np.uint8))
+    artifact, _ = mgr.compress(payload)
+    out, statuses = mgr.decompress(artifact)
+    assert (np.asarray(statuses) == Status.SUCCESS).all()
+    assert np.asarray(out).tobytes() == payload
+
+
+def test_cascaded_manager_opts_roundtrip(rng):
+    opts = CascadedOpts(chunk_size=2048, num_rles=1, num_deltas=1, use_bp=True)
+    mgr = CascadedManager(uncomp_chunk_size=8192, opts=opts)
+    payload = np.repeat(rng.integers(0, 100, 3000), 4)[:3000].astype(np.int32).tobytes()
+    artifact, _ = mgr.compress(payload)
+    mgr2 = create_manager(artifact)
+    assert mgr2.opts == opts
+    out, statuses = mgr2.decompress(artifact)
+    assert np.asarray(out).tobytes() == payload
+
+
+def test_not_supported_stubs():
+    for codec in [stubs.ANS, stubs.GDEFLATE, stubs.BITCOMP]:
+        with pytest.raises(stubs.NotSupportedError):
+            codec.compress(None, None)
+        with pytest.raises(stubs.NotSupportedError):
+            codec.get_decompress_size(None, None)
+    assert stubs.NotSupportedError.status == Status.ERROR_NOT_SUPPORTED
+
+
+def test_unknown_format_rejected(rng):
+    mgr = LZ4Manager(uncomp_chunk_size=4096)
+    artifact, _ = mgr.compress(_mk_payload(rng, 100))
+    bad = np.asarray(artifact).copy()
+    bad[6] = hdr.FORMAT_GDEFLATE  # format byte
+    with pytest.raises(ValueError):
+        create_manager(jnp.asarray(bad))
