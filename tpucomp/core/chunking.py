@@ -47,23 +47,36 @@ class ChunkBatch:
 
 
 def pack_chunks(chunks: Sequence[bytes | np.ndarray], capacity: int | None = None) -> ChunkBatch:
-    """Pack a list of byte strings / uint8 arrays into a dense ChunkBatch."""
+    """Pack a list of byte strings / uint8 arrays into a dense ChunkBatch.
+
+    The staging memcpy loop runs in the native host library when available
+    (tpucomp/native/src/tpucomp_native.cpp, tc_pack_ragged).
+    """
+    from tpucomp.native import staging
+
     arrs = [np.frombuffer(c, dtype=np.uint8) if isinstance(c, (bytes, bytearray)) else np.asarray(c, dtype=np.uint8) for c in chunks]
     lengths = np.array([a.size for a in arrs], dtype=np.int32)
     cap = int(capacity if capacity is not None else (lengths.max() if len(arrs) else 0))
     if len(arrs) and lengths.max() > cap:
         raise ValueError(f"chunk of {lengths.max()} bytes exceeds capacity {cap}")
-    data = np.zeros((len(arrs), cap), dtype=np.uint8)
-    for i, a in enumerate(arrs):
-        data[i, : a.size] = a
+    concat = np.concatenate(arrs) if arrs else np.zeros(0, np.uint8)
+    data = staging.pack_ragged(concat, lengths.astype(np.int64), cap)
     return ChunkBatch(jnp.asarray(data), jnp.asarray(lengths))
 
 
 def unpack_chunks(batch: ChunkBatch) -> List[bytes]:
     """Extract the valid bytes of every row as Python byte strings."""
+    from tpucomp.native import staging
+
     data = np.asarray(jax.device_get(batch.data))
-    lengths = np.asarray(jax.device_get(batch.lengths))
-    return [data[i, : lengths[i]].tobytes() for i in range(data.shape[0])]
+    lengths = np.asarray(jax.device_get(batch.lengths)).astype(np.int64)
+    flat = staging.unpack_ragged(data, lengths)
+    out: List[bytes] = []
+    off = 0
+    for n in np.minimum(lengths, data.shape[1]):
+        out.append(flat[off : off + n].tobytes())
+        off += int(n)
+    return out
 
 
 def split_stream(stream: bytes | np.ndarray, chunk_size: int) -> ChunkBatch:
