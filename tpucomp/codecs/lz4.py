@@ -54,6 +54,7 @@ LAST_LITERALS = 5  # reference src/LZ4Kernels.hiph:168
 LAST_VALID_MATCH = 13  # match start <= n - 13 (mirrors the test oracle)
 MAX_EXT_ITERS = 12  # match cap 12*4 = 48 bytes for offsets > 8
 SMALL_OFFSETS = 8  # exact (uncapped) match lengths for offsets 1..8
+PARSE_BLOCK = 4096  # independent greedy-parse blocks (lz77.block_parallel_parse)
 
 _INF = jnp.int32(2**30)
 
@@ -70,55 +71,14 @@ def _lsic_len(v):
 
 
 def _greedy_parse(mlen, dist, cand, n, s_max: int):
-    """Batched greedy parse.  Returns per-sequence arrays + count.
-
-    Sequences: (lit_start in input, lit_len, match_len (0 for last), offset).
-    """
+    """Greedy parse with LZ4 end rules, block-parallel (lz77.py)."""
     c = mlen.shape[-1]
     i = jnp.arange(c, dtype=jnp.int32)
-    # end rules
     ok_pos = cand & (i <= n - LAST_VALID_MATCH)
-    m_clamped = jnp.minimum(mlen, jnp.maximum(n - LAST_LITERALS - i, 0))
-    usable = ok_pos & (m_clamped >= MIN_MATCH)
-    nmp = lz77.rev_cummin(jnp.where(usable, i, _INF))  # next match position >= p
-
-    # one row per sequence: (lit_start, lit_len, match_len, offset); rows
-    # write with a single dynamic-update-slice, and UNROLL sequences advance
-    # per while iteration to amortize the ~20us TPU loop-step overhead
-    seqs = jnp.zeros((s_max, 4), jnp.int32)
-    unroll = 8
-
-    def step(carry):
-        p, s, done, rows = carry
-        q = nmp[jnp.clip(p, 0, c - 1)]
-        is_last = (q >= n) | (p >= n)
-        q = jnp.minimum(q, n)
-        m = jnp.where(is_last, 0, m_clamped[jnp.clip(q, 0, c - 1)])
-        o = jnp.where(is_last, 0, dist[jnp.clip(q, 0, c - 1)])
-        row = jnp.stack([p, jnp.where(is_last, n - p, q - p), m, o])
-        rows = rows.at[jnp.where(done, s_max, s)].set(row, mode="drop")
-        p2 = jnp.where(is_last, n, q + m)
-        return (
-            jnp.where(done, p, p2),
-            jnp.where(done, s, s + 1),
-            done | is_last,
-            rows,
-        )
-
-    def body(carry):
-        for _ in range(unroll):
-            carry = step(carry)
-        return carry
-
-    def cond(carry):
-        p, s, done, rows = carry
-        return ~done & (s < s_max)
-
-    p, s, done, seqs = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(0), n <= 0, seqs)
+    m_clamped = jnp.where(
+        ok_pos, jnp.minimum(mlen, jnp.maximum(n - LAST_LITERALS - i, 0)), 0
     )
-    # the reference emits nothing for empty chunks; 0 sequences mirrors that
-    return seqs[:, 0], seqs[:, 1], seqs[:, 2], seqs[:, 3], s
+    return lz77.block_parallel_parse(m_clamped, dist, n, PARSE_BLOCK, s_max)
 
 
 def _emit(data, lit_start, lit_len, match_len, offset, num_seqs, out_max: int):

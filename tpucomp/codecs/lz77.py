@@ -106,6 +106,111 @@ def match_lengths(data, n, j, max_offset: int, small_offsets: int, max_ext_iters
     return jnp.where(cand, mlen, 0), dist, cand
 
 
+def block_parallel_parse(m_clamped, dist, n, parse_block: int, s_max: int):
+    """Greedy parse with block-level parallelism.
+
+    The chunk splits into ``parse_block``-byte parse blocks; matches clamp
+    at block boundaries so every block parses independently (extra vmap
+    lanes instead of serial while-loop steps -- the reference gets this
+    parallelism from its warps, we get it from lanes).  Trailing literals
+    of each block merge into the next block's first sequence (they are
+    contiguous in the input), restoring a single valid stream.
+
+    ``m_clamped`` must already carry the format's end-of-block clamps.
+    Returns (lit_start, lit_len, match_len, offset, num_seqs) with
+    sequences in stream order; the final sequence is literals-only
+    (match_len 0, possibly empty).
+    """
+    c = m_clamped.shape[-1]
+    i = jnp.arange(c, dtype=jnp.int32)
+    kb = max(1, c // parse_block)
+    sb = parse_block // MIN_MATCH + 1
+
+    block_end = (i // parse_block + 1) * parse_block
+    m_block = jnp.minimum(m_clamped, block_end - i)
+    usable = m_block >= MIN_MATCH
+    nmp = rev_cummin(jnp.where(usable, i, _INF))
+
+    def parse_block_fn(bs):
+        be = jnp.minimum(bs + parse_block, n)
+        rows = jnp.zeros((sb, 4), jnp.int32)
+        unroll = 4
+
+        def step(carry):
+            p, s, done, rows = carry
+            q = nmp[jnp.clip(p, 0, c - 1)]
+            fin = (q >= be) | (p >= be)
+            q = jnp.minimum(q, be)
+            m = jnp.where(fin, 0, m_block[jnp.clip(q, 0, c - 1)])
+            o = jnp.where(fin, 0, dist[jnp.clip(q, 0, c - 1)])
+            row = jnp.stack([p, q - p, m, o])
+            rows = rows.at[jnp.where(done | fin, sb, s)].set(row, mode="drop")
+            p2 = q + m
+            return (
+                jnp.where(done | fin, p, p2),
+                jnp.where(done | fin, s, s + 1),
+                done | fin,
+                rows,
+            )
+
+        def body(carry):
+            for _ in range(unroll):
+                carry = step(carry)
+            return carry
+
+        def cond(carry):
+            return ~carry[2] & (carry[1] < sb)
+
+        p, s, done, rows = jax.lax.while_loop(
+            cond, body, (bs, jnp.int32(0), bs >= n, rows)
+        )
+        # p = anchor after the last in-block match (tail literals start here)
+        return rows, s, p
+
+    starts = jnp.arange(kb, dtype=jnp.int32) * parse_block
+    rows, counts, tails = jax.vmap(parse_block_fn)(starts)
+
+    # pending anchor entering each block: last tail among earlier blocks
+    # with a match, else 0
+    has = counts > 0
+    tail_ff = permute.ffill(jnp.where(has, tails, 0), has)
+    # pending anchor of block b = last tail among blocks < b (0 before any)
+    pending = jnp.concatenate([jnp.zeros((1,), jnp.int32), tail_ff[:-1]])
+
+    # absorb the pending tail into each block's first sequence
+    q0 = rows[:, 0, 0] + rows[:, 0, 1]  # first match position
+    rows = rows.at[:, 0, 0].set(jnp.where(has, pending, rows[:, 0, 0]))
+    rows = rows.at[:, 0, 1].set(jnp.where(has, q0 - pending, rows[:, 0, 1]))
+
+    # final literals-only sequence for the chunk tail
+    last_anchor = jnp.where(jnp.any(has), tail_ff[-1], 0)
+    final_row = jnp.stack([last_anchor, jnp.maximum(n, 0) - last_anchor, jnp.int32(0), jnp.int32(0)])
+
+    # compact (block, idx) sequences in stream order + append the final row
+    bi = jnp.arange(kb, dtype=jnp.int32)[:, None]
+    si = jnp.arange(sb, dtype=jnp.int32)[None, :]
+    valid = (si < counts[:, None]).reshape(-1)
+    order = (bi * sb + si).reshape(-1)
+    key = jnp.where(valid, order, _INF)
+    flat = rows.reshape(-1, 4)
+    _, c0, c1, c2, c3 = jax.lax.sort(
+        (key, flat[:, 0], flat[:, 1], flat[:, 2], flat[:, 3]), num_keys=1, is_stable=True
+    )
+    num_seqs = jnp.sum(valid.astype(jnp.int32))
+
+    def fit(x, fill):
+        x = x[:s_max] if x.shape[0] >= s_max else jnp.concatenate(
+            [x, jnp.zeros((s_max - x.shape[0],), jnp.int32)]
+        )
+        return x.at[jnp.minimum(num_seqs, s_max - 1)].set(fill)
+
+    lit_start = fit(c0, final_row[0])
+    lit_len = fit(c1, final_row[1])
+    match_len = fit(c2, final_row[2])
+    offset = fit(c3, final_row[3])
+    return lit_start, lit_len, match_len, offset, jnp.minimum(num_seqs + 1, s_max)
+
+
 def materialize(src_bytes, seqs, total_out, out_cap: int, num_seqs=None):
     """Expand sequences into output bytes.
 

@@ -34,6 +34,7 @@ MAX_OFFSET = 32768  # encoder limit (reference src/snappy/config.h:91)
 MAX_EXT_ITERS = 12
 SMALL_OFFSETS = 8
 MIN_MATCH = 4
+PARSE_BLOCK = 4096
 
 _INF = jnp.int32(2**30)
 
@@ -78,40 +79,12 @@ def _lit_hdr(ll):
 
 
 def _greedy_parse(mlen, dist, cand, n, s_max: int):
-    """Greedy parse without LZ4's end-of-block rules (snappy has none)."""
+    """Greedy parse without end-of-block rules (snappy has none),
+    block-parallel (lz77.py)."""
     c = mlen.shape[-1]
     i = jnp.arange(c, dtype=jnp.int32)
-    m_clamped = jnp.minimum(mlen, jnp.maximum(n - i, 0))
-    usable = cand & (m_clamped >= MIN_MATCH)
-    nmp = lz77.rev_cummin(jnp.where(usable, i, _INF))
-
-    seqs = jnp.zeros((s_max, 4), jnp.int32)
-    unroll = 8
-
-    def step(carry):
-        p, s, done, rows = carry
-        q = nmp[jnp.clip(p, 0, c - 1)]
-        is_last = (q >= n) | (p >= n)
-        q = jnp.minimum(q, n)
-        m = jnp.where(is_last, 0, m_clamped[jnp.clip(q, 0, c - 1)])
-        o = jnp.where(is_last, 0, dist[jnp.clip(q, 0, c - 1)])
-        row = jnp.stack([p, jnp.where(is_last, n - p, q - p), m, o])
-        rows = rows.at[jnp.where(done, s_max, s)].set(row, mode="drop")
-        p2 = jnp.where(is_last, n, q + m)
-        return jnp.where(done, p, p2), jnp.where(done, s, s + 1), done | is_last, rows
-
-    def body(carry):
-        for _ in range(unroll):
-            carry = step(carry)
-        return carry
-
-    def cond(carry):
-        return ~carry[2] & (carry[1] < s_max)
-
-    p, s, done, seqs = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(0), n <= 0, seqs)
-    )
-    return seqs[:, 0], seqs[:, 1], seqs[:, 2], seqs[:, 3], s
+    m_clamped = jnp.where(cand, jnp.minimum(mlen, jnp.maximum(n - i, 0)), 0)
+    return lz77.block_parallel_parse(m_clamped, dist, n, PARSE_BLOCK, s_max)
 
 
 def _emit(data, lit_start, lit_len, match_len, offset, num_seqs, n, out_max: int):
