@@ -15,9 +15,14 @@ BASELINE chunk size.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent compilation cache: first-run compiles are minutes through the
+# remote tunnel; later runs (and rounds) hit the cache
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_tpucomp"))
 
 # Approximate HBM bandwidth per chip (GB/s) by TPU generation.
 HBM_GBPS = {

@@ -42,6 +42,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpucomp.core.sizing import lz4_max_compressed_chunk_size
 from tpucomp.core.types import Status
@@ -56,7 +57,7 @@ MAX_EXT_ITERS = 12  # match cap 12*4 = 48 bytes for offsets > 8
 SMALL_OFFSETS = 8  # exact (uncapped) match lengths for offsets 1..8
 PARSE_BLOCK = 4096  # independent greedy-parse blocks (lz77.block_parallel_parse)
 
-_INF = jnp.int32(2**30)
+_INF = np.int32(2**30)  # numpy scalar: no backend init at import
 
 
 # --------------------------------------------------------------------------

@@ -19,11 +19,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpucomp.utils import permute
 
 MIN_MATCH = 4
-_INF = jnp.int32(2**30)
+_INF = np.int32(2**30)  # numpy scalar: no backend init at import
 
 
 def u32_keys(data):

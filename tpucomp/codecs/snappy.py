@@ -24,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpucomp.codecs import lz77
 from tpucomp.core.sizing import snappy_max_compressed_chunk_size
@@ -36,7 +37,7 @@ SMALL_OFFSETS = 8
 MIN_MATCH = 4
 PARSE_BLOCK = 4096
 
-_INF = jnp.int32(2**30)
+_INF = np.int32(2**30)  # numpy scalar: no backend init at import
 
 
 def _varint_len(n):

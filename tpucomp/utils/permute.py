@@ -19,7 +19,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-BIG = jnp.int32(2**30)
+import numpy as _np
+
+BIG = _np.int32(2**30)  # numpy scalar: no backend init at import
 
 
 def ffill(vals, is_src, axis: int = -1):
