@@ -226,17 +226,16 @@ def materialize(src_bytes, seqs, total_out, out_cap: int, num_seqs=None):
         valid &= si < num_seqs
     t = jnp.arange(out_cap, dtype=jnp.int32)
 
-    marks = jnp.zeros((out_cap,), jnp.int32)
-    idx = jnp.where(valid, out_start, out_cap)
-    marks = marks.at[idx].set(si + 1, mode="drop")
-    sid = jnp.clip(permute.ffill(marks, marks != 0) - 1, 0, s_max - 1)
+    # per-position sequence params: one scatter + multi-value forward fill
+    # (no gathers)
+    p_os, p_dst, p_off, p_lsrc = permute.fill_from_markers(
+        out_start, valid, [out_start, out_start + lit_len, offset, lit_src], out_cap
+    )
+    p_off = jnp.maximum(p_off, 1)
 
-    p_os = out_start[sid]
-    p_dst = p_os + lit_len[sid]  # match destination start
-    p_off = jnp.maximum(offset[sid], 1)
-    p_lsrc = lit_src[sid]
-
-    is_lit = t < p_dst
+    # positions past the real output count as literals so the resolution
+    # loop is not kept alive by junk tail entries
+    is_lit = (t < p_dst) | (t >= total_out)
     # literals resolve to themselves; match positions jump out of their own
     # (possibly self-overlapping) copy in closed form
     jump = jnp.where(is_lit, t, p_dst - p_off + ((t - p_dst) % p_off))

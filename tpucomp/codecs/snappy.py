@@ -103,20 +103,15 @@ def _emit(data, lit_start, lit_len, match_len, offset, num_seqs, n, out_max: int
     total = vlen + inc[-1]
 
     t = jnp.arange(out_max, dtype=jnp.int32)
-    marks = jnp.zeros((out_max,), jnp.int32)
-    idx = jnp.where(valid & (seq_bytes > 0), out_start, out_max)
-    marks = marks.at[idx].set(si + 1, mode="drop")
-    sid = jnp.clip(permute.ffill(marks, marks != 0) - 1, 0, s_max - 1)
-
-    p_start = out_start[sid]
-    p_ll = lit_len[sid]
-    p_lh = lhdr[sid]
-    p_off = offset[sid]
-    p_lsrc = lit_start[sid]
-    p_k64 = k64[sid]
-    p_has60 = has60[sid].astype(jnp.int32)
-    p_final = final[sid]
-    p_c1 = is_c1[sid]
+    # per-position sequence params: one scatter + multi-value forward fill
+    (p_start, p_ll, p_lh, p_off, p_lsrc, p_k64, p_has60, p_final, p_c1i) = permute.fill_from_markers(
+        out_start,
+        valid & (seq_bytes > 0),
+        [out_start, lit_len, lhdr, offset, lit_start, k64,
+         has60.astype(jnp.int32), final, is_c1.astype(jnp.int32)],
+        out_max,
+    )
+    p_c1 = p_c1i != 0
 
     u = t - p_start
     # literal header

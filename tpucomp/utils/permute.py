@@ -40,6 +40,38 @@ def ffill(vals, is_src, axis: int = -1):
     return out
 
 
+def ffill_multi(vals_list, is_src, axis: int = -1):
+    """Forward-fill several same-shaped arrays with one shared source mask
+    in a single associative scan (cheaper than per-array fills or gathers).
+    """
+    vals = jnp.stack(vals_list)
+    flags = jnp.broadcast_to(is_src, vals.shape)
+
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+
+    out, _ = jax.lax.associative_scan(comb, (vals, flags), axis=vals.ndim - 1)
+    return tuple(out[k] for k in range(len(vals_list)))
+
+
+def fill_from_markers(starts, valid, vals_list, out_size: int):
+    """Per-position piecewise-constant parameters: for each output position
+    t, the values of the last marker with starts[m] <= t.
+
+    Scatters each value at its (distinct, in-bounds) start position and
+    forward-fills; positions before the first marker read 0.  The sort-free
+    replacement for `gather(param, searchsorted(starts, t))`.
+    """
+    idx = jnp.where(valid, starts.astype(jnp.int32), out_size)
+    flag = jnp.zeros((out_size,), jnp.bool_).at[idx].set(True, mode="drop")
+    marks = [
+        jnp.zeros((out_size,), v.dtype).at[idx].set(v, mode="drop") for v in vals_list
+    ]
+    return ffill_multi(marks, flag)
+
+
 def place(values, targets, valid, out_size: int):
     """Scatter-by-sort: out[targets[m]] = values[m] for valid entries.
 
