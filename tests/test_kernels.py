@@ -1,0 +1,66 @@
+"""Pallas kernel tests (interpret mode on CPU).
+
+Validates the kernels against the dense-XLA reference paths; the TPU
+compile/perf validation runs separately on hardware.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpucomp.kernels import bitpack_pallas as kbp
+
+
+@pytest.mark.parametrize("bw_profile", ["mixed", "zero", "full"])
+def test_pack_words_matches_reference(rng, bw_profile):
+    b, e = 8, 256
+    if bw_profile == "zero":
+        bws = np.zeros(b, np.int32)
+    elif bw_profile == "full":
+        bws = np.full(b, 32, np.int32)
+    else:
+        bws = rng.integers(0, 33, b).astype(np.int32)
+    ns = rng.integers(1, e + 1, b).astype(np.int32)
+    u = np.zeros((b, e), np.uint32)
+    for i in range(b):
+        if bws[i]:
+            hi = (1 << int(bws[i])) - 1
+            u[i, : ns[i]] = rng.integers(0, 256, (ns[i], 4), dtype=np.uint8).view("<u4")[:, 0] & hi
+
+    words = np.asarray(kbp.pack_words(jnp.asarray(u), jnp.asarray(ns), jnp.asarray(bws), interpret=True))
+
+    # reference: python bit accumulator
+    for i in range(b):
+        acc = 0
+        for k in range(ns[i]):
+            acc |= int(u[i, k]) << (k * int(bws[i]))
+        nw = (int(ns[i]) * int(bws[i]) + 31) // 32
+        exp = np.frombuffer(acc.to_bytes(e * 4, "little"), "<u4")
+        np.testing.assert_array_equal(words[i, :nw], exp[:nw], err_msg=f"row {i} bw={bws[i]}")
+
+    # unpack round-trips
+    out = np.asarray(kbp.unpack_words(jnp.asarray(words), jnp.asarray(bws), interpret=True))
+    for i in range(b):
+        if bws[i]:
+            np.testing.assert_array_equal(out[i, : ns[i]], u[i, : ns[i]], err_msg=f"row {i}")
+
+
+@pytest.mark.parametrize("width", [1, 2])
+def test_unpack_words_narrow_units(rng, width):
+    """Unpack directly from element-width unit streams (uint8/uint16)."""
+    b, e = 4, 128
+    tbits = width * 8
+    udtype = np.dtype(f"u{width}")
+    bws = rng.integers(1, tbits + 1, b).astype(np.int32)
+    vals = np.zeros((b, e), udtype)
+    units = np.zeros((b, e), udtype)
+    for i in range(b):
+        hi = (1 << int(bws[i])) - 1
+        v = rng.integers(0, hi + 1, e).astype(udtype)
+        vals[i] = v
+        acc = 0
+        for k in range(e):
+            acc |= int(v[k]) << (k * int(bws[i]))
+        units[i] = np.frombuffer(acc.to_bytes(e * width, "little"), udtype)
+    out = np.asarray(kbp.unpack_words(jnp.asarray(units), jnp.asarray(bws), interpret=True))
+    np.testing.assert_array_equal(out, vals)
