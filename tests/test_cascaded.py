@@ -206,3 +206,18 @@ def test_mixed_fallback_and_compressed_batch(rng):
     good = np.repeat(np.arange(64, dtype=np.int32), 64).tobytes()
     bad = rng.integers(0, 256, 16384, dtype=np.uint8).tobytes()
     _check_bitexact_and_roundtrip([good, bad, good, bad], opts, 16384)
+
+
+def test_detect_opts_roundtrip(rng):
+    """Opts recovered from stream metadata decode without being passed
+    (reference decompress reads them from the stream)."""
+    opts = CascadedOpts(num_rles=1, num_deltas=1, type=DataType.SHORT)
+    x = np.repeat(rng.integers(0, 50, 500).astype(np.int16), 8)[:2000]
+    comp, sizes = _run([x.tobytes()], opts, x.nbytes)
+    detected = cc.detect_opts(jnp.asarray(comp), jnp.asarray(sizes))
+    assert (detected.num_rles, detected.num_deltas, detected.use_bp, detected.type) == (
+        1, 1, True, DataType.SHORT,
+    )
+    out, olens, stats = cc.decompress(jnp.asarray(comp), jnp.asarray(sizes), detected, x.nbytes)
+    assert np.asarray(stats)[0] == Status.SUCCESS
+    assert np.asarray(out)[0, : np.asarray(olens)[0]].tobytes() == x.tobytes()

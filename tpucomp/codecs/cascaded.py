@@ -555,6 +555,43 @@ def decompress(comp, comp_sizes, opts: CascadedOpts, out_capacity: int):
     )
 
 
+def detect_opts(comp, comp_sizes, chunk_size: int | None = None) -> CascadedOpts:
+    """Recover CascadedOpts from a compressed batch's partition metadata.
+
+    The reference's decompression reads layer counts and dtype from each
+    partition on device (src/lowlevel/CascadedBatch.hip:156-260); our static
+    pipeline needs them at trace time, so this helper peeks at the first
+    non-fallback partition's header bytes on the host.  ``chunk_size`` is
+    not recorded in the stream (the reference requires the caller to pass
+    the same opts it compressed with); defaults to 4096.
+    """
+    import numpy as np
+
+    heads = np.asarray(jax.device_get(comp[:, :4]))
+    sizes = np.asarray(jax.device_get(comp_sizes))
+    from tpucomp.core.types import DataType
+
+    pick = None
+    for b in range(heads.shape[0]):
+        if sizes[b] >= PARTITION_HEADER:
+            pick = heads[b]
+            if heads[b][:3].any():  # prefer a non-fallback partition
+                break
+    if pick is None:
+        return CascadedOpts(chunk_size=chunk_size or 4096)
+    nr, nd, bp, dt = (int(x) for x in pick)
+    if nr == 0 and nd == 0 and bp == 0:
+        # all-fallback batch: layer config unknown; defaults still decode
+        return CascadedOpts(chunk_size=chunk_size or 4096, type=DataType(dt))
+    return CascadedOpts(
+        chunk_size=chunk_size or 4096,
+        type=DataType(dt),
+        num_rles=nr,
+        num_deltas=nd,
+        use_bp=bool(bp),
+    )
+
+
 @jax.jit
 def get_decompress_size(comp, comp_sizes):
     """Uncompressed byte count per partition (reads u32 at offset 4,
