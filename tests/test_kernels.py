@@ -64,3 +64,35 @@ def test_unpack_words_narrow_units(rng, width):
         units[i] = np.frombuffer(acc.to_bytes(e * width, "little"), udtype)
     out = np.asarray(kbp.unpack_words(jnp.asarray(units), jnp.asarray(bws), interpret=True))
     np.testing.assert_array_equal(out, vals)
+
+
+def test_pallas_integration_in_cascaded(rng):
+    """The config flag routes cascaded's bitpack through the Pallas kernels
+    (interpret mode here); outputs must stay bit-identical."""
+    import jax.numpy as jnp
+
+    from tpucomp import config as tc_config
+    from tpucomp.codecs import cascaded as cc
+    from tpucomp.core.options import CascadedOpts
+
+    opts = CascadedOpts(chunk_size=512)
+    x = np.repeat(rng.integers(0, 30, 200), rng.integers(1, 6, 200))[:256].astype(np.int32)
+    data = np.zeros((1, 1024), np.uint8)
+    data[0, : x.nbytes] = x.view(np.uint8)
+    lengths = np.array([x.nbytes], np.int32)
+
+    comp0, sizes0 = cc.compress(jnp.asarray(data), jnp.asarray(lengths), opts)
+    try:
+        tc_config.use_pallas_kernels = True
+        cc.compress.clear_cache()
+        cc.decompress.clear_cache()
+        comp1, sizes1 = cc.compress(jnp.asarray(data), jnp.asarray(lengths), opts)
+        np.testing.assert_array_equal(np.asarray(sizes1), np.asarray(sizes0))
+        np.testing.assert_array_equal(np.asarray(comp1), np.asarray(comp0))
+        out, lens, stats = cc.decompress(comp1, sizes1, opts, 1024)
+        assert np.asarray(stats)[0] == 0
+        assert np.asarray(out)[0, : np.asarray(lens)[0]].tobytes() == x.tobytes()
+    finally:
+        tc_config.use_pallas_kernels = None
+        cc.compress.clear_cache()
+        cc.decompress.clear_cache()

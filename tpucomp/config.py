@@ -1,0 +1,28 @@
+"""Runtime configuration flags.
+
+``use_pallas_kernels``: route hot stages through the Pallas TPU kernels in
+tpucomp.kernels instead of the dense-XLA formulations.
+
+  - None (default): auto -- enabled on TPU backends once the kernel set is
+    validated on hardware (currently resolves to False; flip
+    PALLAS_VALIDATED after on-chip validation)
+  - True / False: force
+"""
+
+from __future__ import annotations
+
+use_pallas_kernels: bool | None = None
+
+# Flipped when the kernels have passed on-hardware validation; keeps the
+# auto mode safe on platforms where Mosaic lowering is untested.
+PALLAS_VALIDATED = False
+
+
+def pallas_enabled() -> bool:
+    if use_pallas_kernels is not None:
+        return use_pallas_kernels
+    if not PALLAS_VALIDATED:
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"

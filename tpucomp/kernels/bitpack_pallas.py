@@ -98,6 +98,48 @@ def _unpack_kernel(units_ref, bw_ref, out_ref, *, e: int, tbits: int):
     out_ref[0, :] = jax.lax.switch(jnp.clip(bw, 0, tbits), branches, units)
 
 
+def pack_words_single(u, n, bw, *, interpret: bool = False):
+    """Single-chunk pack (vmap-friendly): u uint32[E] -> words uint32[E]."""
+    e = u.shape[-1]
+    assert e % 32 == 0
+    kernel = functools.partial(_pack_kernel, e=e, tbits=32)
+    return pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, e), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, e), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, e), jnp.uint32),
+        interpret=interpret,
+    )(
+        u.astype(jnp.uint32).reshape(1, e),
+        n.astype(jnp.int32).reshape(1, 1),
+        bw.astype(jnp.int32).reshape(1, 1),
+    )[0]
+
+
+def unpack_words_single(units, bw, *, interpret: bool = False):
+    """Single-chunk unpack (vmap-friendly): units unsigned[E] -> values."""
+    e = units.shape[-1]
+    tbits = jnp.iinfo(units.dtype).bits
+    assert e % (32 if tbits <= 32 else 64) == 0
+    kernel = functools.partial(_unpack_kernel, e=e, tbits=int(tbits))
+    return pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, e), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, e), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, e), units.dtype),
+        interpret=interpret,
+    )(units.reshape(1, e), bw.astype(jnp.int32).reshape(1, 1))[0]
+
+
 def pack_words(u, n, bw, *, interpret: bool = False):
     """Batched pack: u uint32[B, E] FOR-relative (zeros past n), n int32[B],
     bw int32[B] (<= 32).  Returns words uint32[B, E]."""

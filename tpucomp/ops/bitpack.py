@@ -125,6 +125,25 @@ def _pack_words_switch(u, bw, max_words: int):
     )
 
 
+def _pack_words_dispatch(u, n, bw, max_words: int, width: int):
+    """Choose the pack implementation: Pallas kernel (one static-bitwidth
+    branch per grid cell) when enabled, word-granularity scatter otherwise."""
+    from tpucomp import config as _cfg
+
+    e = u.shape[-1]
+    if _cfg.pallas_enabled() and width <= 4 and e % 32 == 0 and max_words <= e:
+        import jax as _jax
+
+        from tpucomp.kernels import bitpack_pallas as kbp
+
+        interp = _jax.default_backend() != "tpu"
+        words = kbp.pack_words_single(
+            u.astype(jnp.uint32), jnp.asarray(n), bw, interpret=interp
+        )
+        return words[:max_words]
+    return _pack_words_scatter64(u, bw, max_words)
+
+
 def _pack_words_scatter64(u, bw, max_words: int):
     """Element packing via 2-3 word-granularity scatter-adds.
 
@@ -179,7 +198,7 @@ def bitpack(x, n, max_words: int):
     valid = i < n
     u = jnp.where(valid, u, 0).astype(x.dtype)
 
-    words = _pack_words_switch(u, bw, max_words)
+    words = _pack_words_dispatch(u, n, bw, max_words, width)
     data_words = (n * bw + 31) >> 5
     blob_size = hdr + 4 * data_words
 
@@ -238,7 +257,22 @@ def _unpack_words_switch(units, bw, out_elements: int):
     """
     udtype = units.dtype
     tbits = jnp.iinfo(udtype).bits
-    if True:  # see _pack_words_switch: switch lowering is not viable yet
+    from tpucomp import config as _cfg
+
+    p = 32 if tbits <= 32 else 64
+    if _cfg.pallas_enabled() and tbits <= 32 and out_elements % p == 0:
+        import jax as _jax
+
+        from tpucomp.kernels import bitpack_pallas as kbp
+
+        interp = _jax.default_backend() != "tpu"
+        uu = units[:out_elements]
+        if uu.shape[-1] < out_elements:
+            uu = jnp.concatenate(
+                [uu, jnp.zeros((out_elements - uu.shape[-1],), udtype)]
+            )
+        return kbp.unpack_words_single(uu, bw, interpret=interp)
+    if True:  # XLA fallback: the vmap+switch lowering is not viable
         return _unpack_words_gather64(units, bw, out_elements)
     p = 32 if tbits <= 32 else 64  # elements per group
 
