@@ -47,7 +47,7 @@ import numpy as np
 from tpucomp.core.sizing import lz4_max_compressed_chunk_size
 from tpucomp.core.types import Status
 from tpucomp.codecs import lz77
-from tpucomp.utils import bits, permute
+from tpucomp.utils import permute
 
 MAX_OFFSET = 65535
 MIN_MATCH = 4

@@ -26,7 +26,6 @@ Functions operate on a single fixed-size unsigned element buffer ``x[E]``
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from tpucomp.core.sizing import round_up_to
@@ -73,56 +72,11 @@ def for_bitwidth(x, n):
     return frame, bw
 
 
-def _pack_words_switch(u, bw, max_words: int):
-    """Pack FOR-subtracted unsigned elements into u32 words.
-
-    TPU-native formulation: lax.switch over the (tbits + 1) static bitwidths;
-    each branch packs groups of P elements into P*bwi/32 words with purely
-    elementwise shifts and ors on strided columns -- no gathers, no scatters.
-    Under vmap all branches evaluate and select, which is still far cheaper
-    on the VPU than element-granularity scatter.
-    """
-    tbits = jnp.iinfo(u.dtype).bits
-    if True:
-        # The static-bitwidth switch explodes compile time/memory under vmap
-        # (all branches evaluate); keep the word-granularity scatter
-        # formulation until a Pallas kernel replaces it.
-        return _pack_words_scatter64(u, bw, max_words)
-    wide = jnp.uint32 if tbits <= 32 else jnp.uint64  # shift space: 32-bit words
-    e = u.shape[-1]
-    p = 32 if tbits <= 32 else 64  # elements per group so words divide evenly
-    ep = (e + p - 1) // p * p
-    if ep != e:
-        u = jnp.concatenate([u, jnp.zeros((ep - e,), u.dtype)])
-    g = u.reshape(ep // p, p).astype(wide)
-    n_groups = ep // p
-
-    def make_branch(bwi: int):
-        def branch(_):
-            if bwi == 0:
-                return jnp.zeros((max_words,), jnp.uint32)
-            wpg = p * bwi // 32  # words per group
-            cols = []
-            for j in range(wpg):
-                e0 = (32 * j) // bwi
-                e1 = min((32 * (j + 1) - 1) // bwi, p - 1)
-                acc = jnp.zeros((n_groups,), jnp.uint32)
-                for ei in range(e0, e1 + 1):
-                    s = ei * bwi - 32 * j
-                    v = g[:, ei]
-                    part = (v << wide(s)) if s >= 0 else (v >> wide(-s))
-                    acc = acc | part.astype(jnp.uint32)
-                cols.append(acc)
-            w = jnp.stack(cols, axis=1).reshape(n_groups * wpg)
-            if w.shape[0] < max_words:
-                w = jnp.concatenate([w, jnp.zeros((max_words - w.shape[0],), jnp.uint32)])
-            return w[:max_words]
-
-        return branch
-
-    return jax.lax.switch(
-        jnp.clip(bw, 0, tbits), [make_branch(b) for b in range(tbits + 1)], None
-    )
+# NOTE: a lax.switch over static bitwidths is the natural vector formulation
+# of bit packing, but under vmap every branch evaluates for the whole batch
+# and XLA compile time/memory explode.  Inside a Pallas kernel the switch is
+# a real per-grid-cell branch -- see tpucomp/kernels/bitpack_pallas.py,
+# selected by _pack_words_dispatch/_unpack_words_dispatch below.
 
 
 def _pack_words_dispatch(u, n, bw, max_words: int, width: int):
@@ -241,20 +195,17 @@ def bitunpack(blob, out_elements: int, width: int):
         data_bytes = jnp.concatenate([data_bytes, jnp.zeros((pad,), jnp.uint8)])
     units = bits.bytes_to_units_le(data_bytes, width)
 
-    v = _unpack_words_switch(units, bw, out_elements)
+    v = _unpack_words_dispatch(units, bw, out_elements)
     i = jnp.arange(out_elements, dtype=jnp.int32)
     x = (v + frame).astype(udtype)
     x = jnp.where((i < n) & (bw > 0), x, jnp.where(i < n, frame, 0)).astype(udtype)
     return x, n, bw
 
 
-def _unpack_words_switch(units, bw, out_elements: int):
-    """Inverse of _pack_words_switch: unsigned units -> FOR-relative values.
-
-    Same static-bitwidth switch structure; each branch reads at most two
-    strided unit columns per element with static shifts (reference
-    src/CascadedKernels.hiph:595-612, vectorized).
-    """
+def _unpack_words_dispatch(units, bw, out_elements: int):
+    """Unpack units -> FOR-relative values: Pallas kernel when enabled,
+    two monotone unit gathers otherwise (reference
+    src/CascadedKernels.hiph:595-612, vectorized)."""
     udtype = units.dtype
     tbits = jnp.iinfo(udtype).bits
     from tpucomp import config as _cfg
@@ -272,36 +223,4 @@ def _unpack_words_switch(units, bw, out_elements: int):
                 [uu, jnp.zeros((out_elements - uu.shape[-1],), udtype)]
             )
         return kbp.unpack_words_single(uu, bw, interpret=interp)
-    if True:  # XLA fallback: the vmap+switch lowering is not viable
-        return _unpack_words_gather64(units, bw, out_elements)
-    p = 32 if tbits <= 32 else 64  # elements per group
-
-    def make_branch(bwi: int):
-        def branch(_):
-            if bwi == 0:
-                return jnp.zeros((out_elements,), udtype)
-            upg = p * bwi // tbits  # units per group (integral by choice of p)
-            n_groups = -(-out_elements // p)
-            need = n_groups * upg
-            uu = units
-            if uu.shape[0] < need:
-                uu = jnp.concatenate([uu, jnp.zeros((need - uu.shape[0],), udtype)])
-            g = uu[:need].reshape(n_groups, upg)
-            mask = udtype.type((1 << bwi) - 1) if bwi < tbits else ~udtype.type(0)
-            cols = []
-            for e in range(p):
-                bit0 = e * bwi
-                lo = bit0 // tbits
-                off = bit0 - lo * tbits
-                hi = (bit0 + bwi - 1) // tbits
-                val = g[:, lo] >> udtype.type(off)
-                if hi > lo and off:
-                    val = val | (g[:, hi] << udtype.type(tbits - off))
-                cols.append(val & mask)
-            return jnp.stack(cols, axis=1).reshape(n_groups * p)[:out_elements]
-
-        return branch
-
-    return jax.lax.switch(
-        jnp.clip(bw, 0, tbits), [make_branch(b) for b in range(tbits + 1)], None
-    )
+    return _unpack_words_gather64(units, bw, out_elements)
