@@ -170,6 +170,21 @@ def _delimit(comp, comp_len, out_cap: int, s_max: int):
     ext_bytes = run255 + 1
 
     last = c - 1
+    # packed parse tables, precomputed elementwise so each step costs 3
+    # gathers (token-side, offset, matchlen-side) instead of 7:
+    #   tok_tbl[p] = token | litlen_ext_bytes(p+1) << 8 | litlen_full(p) << 18
+    #   off_tbl[q] = u16 offset at q
+    #   mx_tbl[q]  = matchlen_ext_bytes(q+2) | matchlen_ext_total(q+2) << 9
+    eb1 = jnp.roll(ext_bytes, -1)
+    et1 = jnp.roll(ext_total, -1)
+    tok = cb
+    lnib_all = tok >> 4
+    ll_full_all = jnp.where(lnib_all == 15, 15 + et1, lnib_all)
+    lb_all = jnp.where(lnib_all == 15, eb1, 0)
+    tok_tbl = tok | (lb_all << 8)
+    off_tbl = cb | (jnp.roll(cb, -1) << 8)
+    mx_tbl = jnp.roll(ext_bytes, -2) | (jnp.roll(ext_total, -2) << 9)
+
     # one row per sequence: (lit_src, lit_len, out_start, match_len, offset);
     # UNROLL sequences per while iteration amortize the TPU loop-step cost
     seqs = jnp.zeros((s_max, 5), jnp.int32)
@@ -177,20 +192,21 @@ def _delimit(comp, comp_len, out_cap: int, s_max: int):
 
     def step(carry):
         p, o, s, done, ok, rows = carry
-        token = cb[jnp.clip(p, 0, last)]
-        lnib = token >> 4
-        has_l = lnib == 15
-        lb = jnp.where(has_l, ext_bytes[jnp.clip(p + 1, 0, last)], 0)
-        llen = jnp.where(has_l, 15 + ext_total[jnp.clip(p + 1, 0, last)], lnib)
+        pc = jnp.clip(p, 0, last)
+        ti = tok_tbl[pc]
+        token = ti & 0xFF
+        lb = (ti >> 8) & 0x3FF
+        llen = ll_full_all[pc]
         src = p + 1 + lb
         q = src + llen
         is_last = q >= comp_len
-        off = cb[jnp.clip(q, 0, last)] | (cb[jnp.clip(q + 1, 0, last)] << 8)
+        off = off_tbl[jnp.clip(q, 0, last)]
         mnib = token & 15
         has_m = mnib == 15
-        mb = jnp.where(has_m, ext_bytes[jnp.clip(q + 2, 0, last)], 0)
+        mi = mx_tbl[jnp.clip(q, 0, last)]
+        mb = jnp.where(has_m, mi & 0x1FF, 0)
         mlen = jnp.where(
-            is_last, 0, MIN_MATCH + jnp.where(has_m, 15 + ext_total[jnp.clip(q + 2, 0, last)], mnib)
+            is_last, 0, MIN_MATCH + jnp.where(has_m, 15 + (mi >> 9), mnib)
         )
         step_ok = q <= comp_len  # literals in bounds
         step_ok &= is_last | ((off >= 1) & (off <= o + llen))

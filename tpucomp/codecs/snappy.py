@@ -172,14 +172,24 @@ def _delimit(comp, comp_len, out_cap: int, s_max: int):
     seqs = jnp.zeros((s_max, 5), jnp.int32)
     unroll = 8
 
+    # packed parse table: the 4 bytes after every position, precomputed
+    # elementwise so each parse step costs 2 gathers instead of 5
+    nxt4 = (
+        jnp.roll(cb, -1)
+        | (jnp.roll(cb, -2) << 8)
+        | (jnp.roll(cb, -3) << 16)
+        | (jnp.roll(cb, -4) << 24)
+    )
+
     def step(carry):
         p, o, s, done, ok, rows = carry
         tag = cb[jnp.clip(p, 0, last)]
         kind = tag & 3
-        e1 = cb[jnp.clip(p + 1, 0, last)]
-        e2 = cb[jnp.clip(p + 2, 0, last)]
-        e3 = cb[jnp.clip(p + 3, 0, last)]
-        e4 = cb[jnp.clip(p + 4, 0, last)]
+        packed = nxt4[jnp.clip(p, 0, last)]
+        e1 = packed & 0xFF
+        e2 = (packed >> 8) & 0xFF
+        e3 = (packed >> 16) & 0xFF
+        e4 = (packed >> 24) & 0xFF
 
         # literal
         lraw = tag >> 2
