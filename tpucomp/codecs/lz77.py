@@ -236,21 +236,28 @@ def materialize(src_bytes, seqs, total_out, out_cap: int, num_seqs=None):
     # positions past the real output count as literals so the resolution
     # loop is not kept alive by junk tail entries
     is_lit = (t < p_dst) | (t >= total_out)
-    # literals resolve to themselves; match positions jump out of their own
-    # (possibly self-overlapping) copy in closed form
-    jump = jnp.where(is_lit, t, p_dst - p_off + ((t - p_dst) % p_off))
-    jump = jnp.clip(jump, 0, out_cap - 1)
+    # one-step jump with "resolved" sign-encoded: literals hold the bitwise
+    # NOT of their own position; match positions jump out of their own
+    # (possibly self-overlapping) copy in closed form.  One gather per
+    # doubling iteration.
+    jump = jnp.where(
+        is_lit, ~t, jnp.clip(p_dst - p_off + ((t - p_dst) % p_off), 0, out_cap - 1)
+    )
 
     def cond(carry):
-        cur, resolved, it = carry
-        return (~jnp.all(resolved)) & (it < 24)
+        cur, it = carry
+        return jnp.any(cur >= 0) & (it < 24)
 
     def body(carry):
-        cur, resolved, it = carry
-        cur2 = cur[cur]  # pointer doubling: cur_k = jump^(2^k), literals fixed
-        return cur2, is_lit[cur2], it + 1
+        cur, it = carry
+        # pointer doubling: cur_k = jump^(2^k); negative entries are resolved
+        nxt = cur[jnp.clip(cur, 0, out_cap - 1)]
+        return jnp.where(cur < 0, cur, nxt), it + 1
 
-    cur, _, _ = jax.lax.while_loop(cond, body, (jump, is_lit[jump], jnp.int32(0)))
-    src = p_lsrc[cur] + (cur - p_os[cur])
+    cur, _ = jax.lax.while_loop(cond, body, (jump, jnp.int32(0)))
+    lit_pos = ~cur  # resolved literal positions
+    # literal source delta is piecewise-constant: one gather instead of two
+    lit_delta = p_lsrc - p_os
+    src = lit_delta[jnp.clip(lit_pos, 0, out_cap - 1)] + lit_pos
     out = src_bytes[jnp.clip(src, 0, src_bytes.shape[-1] - 1)]
     return jnp.where(t < total_out, out, 0).astype(jnp.uint8)
