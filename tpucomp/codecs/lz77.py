@@ -48,12 +48,17 @@ def nearest_prev_occurrence(data, n):
     c = data.shape[-1]
     i = jnp.arange(c, dtype=jnp.int32)
     key = u32_keys(data)
-    invalid = (i > n - MIN_MATCH).astype(jnp.int32)
-    sk, sf, sp = jax.lax.sort((key, invalid, i), num_keys=2, is_stable=True)
-    same = (sk == jnp.roll(sk, 1)) & (jnp.roll(sf, 1) == 0) & (sf == 0)
+    # pack (invalid flag, position) into the secondary key: valid entries
+    # sort before invalid ones within a window value, ascending position
+    invalid = i > n - MIN_MATCH
+    packed = jnp.where(invalid, i + _INF, i)
+    sk, sp = jax.lax.sort((key, packed), num_keys=2, is_stable=False)
+    pos = jnp.where(sp >= _INF, sp - _INF, sp)
+    ok = sp < _INF
+    same = (sk == jnp.roll(sk, 1)) & jnp.roll(ok, 1) & ok
     same = same.at[0].set(False)
-    prev = jnp.where(same, jnp.roll(sp, 1), -1)
-    return permute.place(prev, sp, jnp.ones((c,), jnp.bool_), c)
+    prev = jnp.where(same, jnp.roll(pos, 1), -1)
+    return permute.place(prev, pos, jnp.ones((c,), jnp.bool_), c)
 
 
 def match_lengths(data, n, j, max_offset: int, small_offsets: int, max_ext_iters: int):
