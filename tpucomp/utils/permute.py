@@ -112,16 +112,16 @@ def expand_runs(vals, starts, num_runs, out_size: int):
     """
     r_count = vals.shape[-1]
     # markers sort before the queries at the same position: key = 2*pos for
-    # markers, 2*pos+1 for queries
+    # markers, 2*pos+1 for queries; the marker flag is the key's parity, so
+    # the merge sort carries only two operands.  Invalid markers get an even
+    # key past every query (harmless zero-valued sources at the tail).
     mk = jnp.where(jnp.arange(r_count, dtype=jnp.int32) < num_runs,
                    2 * starts.astype(jnp.int32), BIG)
     qk = 2 * jnp.arange(out_size, dtype=jnp.int32) + 1
     keys = jnp.concatenate([mk, qk])
     vv = jnp.concatenate([vals, jnp.zeros((out_size,), vals.dtype)])
-    is_marker = jnp.concatenate(
-        [jnp.ones((r_count,), jnp.bool_), jnp.zeros((out_size,), jnp.bool_)]
-    )
-    sk, sv, sm = jax.lax.sort((keys, vv, is_marker), num_keys=1, is_stable=True)
+    sk, sv = jax.lax.sort((keys, vv), num_keys=1, is_stable=True)
+    sm = (sk & 1) == 0
     filled = ffill(sv, sm)
     # extract the queries in position order (each position exactly once)
     qpos = jnp.where(sm, BIG, sk >> 1)
