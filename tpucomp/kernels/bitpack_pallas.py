@@ -81,21 +81,21 @@ def _unpack_branch(bwi: int, e: int, tbits: int):
 
 
 def _pack_kernel(x_ref, n_ref, bw_ref, words_ref, *, e: int, tbits: int):
-    x = x_ref[0, :]
-    n = n_ref[0, 0]
-    bw = bw_ref[0, 0]
+    x = x_ref[0, 0, :]
+    n = n_ref[0, 0, 0]
+    bw = bw_ref[0, 0, 0]
     i = jax.lax.broadcasted_iota(jnp.int32, (e, 1), 0)[:, 0]
     u = jnp.where(i < n, x, 0).astype(jnp.uint32)
     branches = [_pack_branch(b, e) for b in range(tbits + 1)]
     words = jax.lax.switch(jnp.clip(bw, 0, tbits), branches, u)
-    words_ref[0, :] = words
+    words_ref[0, 0, :] = words
 
 
 def _unpack_kernel(units_ref, bw_ref, out_ref, *, e: int, tbits: int):
-    units = units_ref[0, :]
-    bw = bw_ref[0, 0]
+    units = units_ref[0, 0, :]
+    bw = bw_ref[0, 0, 0]
     branches = [_unpack_branch(b, e, tbits) for b in range(tbits + 1)]
-    out_ref[0, :] = jax.lax.switch(jnp.clip(bw, 0, tbits), branches, units)
+    out_ref[0, 0, :] = jax.lax.switch(jnp.clip(bw, 0, tbits), branches, units)
 
 
 def pack_words_single(u, n, bw, *, interpret: bool = False):
@@ -107,18 +107,18 @@ def pack_words_single(u, n, bw, *, interpret: bool = False):
         kernel,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec((1, e), lambda i: (0, 0)),
-            pl.BlockSpec((1, 1), lambda i: (0, 0)),
-            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1, e), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, e), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((1, e), jnp.uint32),
+        out_specs=pl.BlockSpec((1, 1, e), lambda i: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, 1, e), jnp.uint32),
         interpret=interpret,
     )(
-        u.astype(jnp.uint32).reshape(1, e),
-        n.astype(jnp.int32).reshape(1, 1),
-        bw.astype(jnp.int32).reshape(1, 1),
-    )[0]
+        u.astype(jnp.uint32).reshape(1, 1, e),
+        n.astype(jnp.int32).reshape(1, 1, 1),
+        bw.astype(jnp.int32).reshape(1, 1, 1),
+    )[0, 0]
 
 
 def unpack_words_single(units, bw, *, interpret: bool = False):
@@ -131,13 +131,13 @@ def unpack_words_single(units, bw, *, interpret: bool = False):
         kernel,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec((1, e), lambda i: (0, 0)),
-            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1, e), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, e), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((1, e), units.dtype),
+        out_specs=pl.BlockSpec((1, 1, e), lambda i: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, 1, e), units.dtype),
         interpret=interpret,
-    )(units.reshape(1, e), bw.astype(jnp.int32).reshape(1, 1))[0]
+    )(units.reshape(1, 1, e), bw.astype(jnp.int32).reshape(1, 1, 1))[0, 0]
 
 
 def pack_words(u, n, bw, *, interpret: bool = False):
@@ -151,18 +151,18 @@ def pack_words(u, n, bw, *, interpret: bool = False):
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, e), lambda i: (i, 0)),
-            pl.BlockSpec((1, 1), lambda i: (i, 0)),
-            pl.BlockSpec((1, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, e), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, e), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, e), jnp.uint32),
+        out_specs=pl.BlockSpec((1, 1, e), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 1, e), jnp.uint32),
         interpret=interpret,
     )(
-        u.astype(jnp.uint32),
-        n.astype(jnp.int32).reshape(b, 1),
-        bw.astype(jnp.int32).reshape(b, 1),
-    )
+        u.astype(jnp.uint32).reshape(b, 1, e),
+        n.astype(jnp.int32).reshape(b, 1, 1),
+        bw.astype(jnp.int32).reshape(b, 1, 1),
+    )[:, 0, :]
 
 
 def unpack_words(units, bw, *, interpret: bool = False):
@@ -176,10 +176,10 @@ def unpack_words(units, bw, *, interpret: bool = False):
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, e), lambda i: (i, 0)),
-            pl.BlockSpec((1, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, e), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, e), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, e), units.dtype),
+        out_specs=pl.BlockSpec((1, 1, e), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 1, e), units.dtype),
         interpret=interpret,
-    )(units, bw.astype(jnp.int32).reshape(b, 1))
+    )(units.reshape(b, 1, e), bw.astype(jnp.int32).reshape(b, 1, 1))[:, 0, :]
