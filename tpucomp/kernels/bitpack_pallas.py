@@ -47,7 +47,10 @@ def _pack_branch(bwi: int, e: int):
                 acc = acc | part
             cols.append(acc)
         w = jnp.stack(cols, axis=1).reshape(-1)
-        return jnp.concatenate([w, jnp.zeros((e - w.shape[0],), jnp.uint32)])
+        pad = e - w.shape[0]
+        if pad:  # Mosaic rejects zero-sized vectors; skip the empty pad
+            w = jnp.concatenate([w, jnp.zeros((pad,), jnp.uint32)])
+        return w
 
     return branch
 
