@@ -27,78 +27,89 @@ from tpucomp.ops.bitpack import for_bitwidth
 
 
 def _pack_branch(bwi: int, e: int):
-    """Static-bitwidth pack: [E] uint32 FOR-relative values -> [E] u32 words
-    (only the first ceil(E*bwi/32) carry data)."""
+    """Static-bitwidth pack: [G, 32] uint32 FOR-relative values -> [G, 32]
+    u32 words, 2-D end to end (Mosaic-friendly); only the first
+    ceil(E*bwi/32) flattened words carry data."""
+    p = 32  # elements per group -> bwi words per group
 
-    def branch(u):
+    def branch(g):
         if bwi == 0:
-            return jnp.zeros((e,), jnp.uint32)
-        p = 32  # elements per group -> bwi words per group
-        g = u.reshape(e // p, p)
+            return jnp.zeros((e // p, p), jnp.uint32)
         cols = []
         for j in range(bwi):
             e0 = (32 * j) // bwi
             e1 = min((32 * (j + 1) - 1) // bwi, p - 1)
-            acc = jnp.zeros((e // p,), jnp.uint32)
+            acc = None
             for ei in range(e0, e1 + 1):
                 s = ei * bwi - 32 * j
-                v = g[:, ei]
+                v = g[:, ei : ei + 1]
                 part = (v << jnp.uint32(s)) if s >= 0 else (v >> jnp.uint32(-s))
-                acc = acc | part
+                acc = part if acc is None else (acc | part)
             cols.append(acc)
-        w = jnp.stack(cols, axis=1).reshape(-1)
+        # group words are contiguous in the stream: flatten [G, bwi] first,
+        # then pad the tail (zero bits past the last data word)
+        w = jnp.concatenate(cols, axis=1).reshape(-1)
         pad = e - w.shape[0]
-        if pad:  # Mosaic rejects zero-sized vectors; skip the empty pad
+        if pad:
             w = jnp.concatenate([w, jnp.zeros((pad,), jnp.uint32)])
-        return w
+        return w.reshape(e // p, p)
 
     return branch
 
 
 def _unpack_branch(bwi: int, e: int, tbits: int):
-    """Static-bitwidth unpack: [E] raw units -> [E] FOR-relative values."""
+    """Static-bitwidth unpack: flat units[e] -> [G, P] values.
+
+    Group g holds elements [g*P, (g+1)*P) whose bits live in units
+    [g*UPG, (g+1)*UPG); column ei reads strided unit slices (static stride
+    UPG, static offset) -- no gathers, no data-dependent reshapes."""
+    p = 32 if tbits <= 32 else 64
 
     def branch(units):
-        if bwi == 0:
-            return jnp.zeros((e,), units.dtype)
-        p = 32 if tbits <= 32 else 64
-        upg = p * bwi // tbits  # units per group (integral)
+        udtype = units.dtype
         n_groups = e // p
-        g = units[: n_groups * upg].reshape(n_groups, upg)
-        mask = (
-            units.dtype.type((1 << bwi) - 1) if bwi < tbits else ~units.dtype.type(0)
-        )
+        if bwi == 0:
+            return jnp.zeros((n_groups, p), udtype)
+        upg = p * bwi // tbits  # units per group (integral by choice of p)
+        mask = udtype.type((1 << bwi) - 1) if bwi < tbits else ~udtype.type(0)
+
+        def ucol(k):  # units[g*upg + k] for each group, as a [G, 1] column
+            sl = jax.lax.slice(units, (k,), (k + (n_groups - 1) * upg + 1,), (upg,))
+            return sl.reshape(n_groups, 1)
+
         cols = []
         for ei in range(p):
             bit0 = ei * bwi
             lo = bit0 // tbits
             off = bit0 - lo * tbits
             hi = (bit0 + bwi - 1) // tbits
-            val = g[:, lo] >> units.dtype.type(off)
+            val = ucol(lo) >> udtype.type(off)
             if hi > lo and off:
-                val = val | (g[:, hi] << units.dtype.type(tbits - off))
+                val = val | (ucol(hi) << udtype.type(tbits - off))
             cols.append(val & mask)
-        return jnp.stack(cols, axis=1).reshape(-1)
+        return jnp.concatenate(cols, axis=1)
 
     return branch
 
 
 def _pack_kernel(x_ref, n_ref, bw_ref, words_ref, *, e: int, tbits: int):
-    x = x_ref[0, 0, :]
+    p = 32
+    g0 = x_ref[0, 0, :].reshape(e // p, p)
     n = n_ref[0, 0, 0]
     bw = bw_ref[0, 0, 0]
-    i = jax.lax.broadcasted_iota(jnp.int32, (e, 1), 0)[:, 0]
-    u = jnp.where(i < n, x, 0).astype(jnp.uint32)
+    r = jax.lax.broadcasted_iota(jnp.int32, (e // p, p), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (e // p, p), 1)
+    g = jnp.where(r * p + c < n, g0, 0).astype(jnp.uint32)
     branches = [_pack_branch(b, e) for b in range(tbits + 1)]
-    words = jax.lax.switch(jnp.clip(bw, 0, tbits), branches, u)
-    words_ref[0, 0, :] = words
+    words = jax.lax.switch(jnp.clip(bw, 0, tbits), branches, g)
+    words_ref[0, 0, :] = words.reshape(e)
 
 
 def _unpack_kernel(units_ref, bw_ref, out_ref, *, e: int, tbits: int):
     units = units_ref[0, 0, :]
     bw = bw_ref[0, 0, 0]
     branches = [_unpack_branch(b, e, tbits) for b in range(tbits + 1)]
-    out_ref[0, 0, :] = jax.lax.switch(jnp.clip(bw, 0, tbits), branches, units)
+    out_ref[0, 0, :] = jax.lax.switch(jnp.clip(bw, 0, tbits), branches, units).reshape(e)
 
 
 def pack_words_single(u, n, bw, *, interpret: bool = False):
