@@ -46,14 +46,17 @@ def test_pack_words_matches_reference(rng, bw_profile):
 
 
 @pytest.mark.parametrize("width", [1, 2])
-def test_unpack_words_narrow_units(rng, width):
-    """Unpack directly from element-width unit streams (uint8/uint16)."""
+def test_unpack_narrow_element_streams(rng, width):
+    """Narrow-element bitstreams unpack through the u32-word kernel (the
+    caller reinterprets the byte stream as u32 words)."""
+    import jax.numpy as jnp
+
     b, e = 4, 128
     tbits = width * 8
     udtype = np.dtype(f"u{width}")
     bws = rng.integers(1, tbits + 1, b).astype(np.int32)
     vals = np.zeros((b, e), udtype)
-    units = np.zeros((b, e), udtype)
+    words = np.zeros((b, e), np.uint32)
     for i in range(b):
         hi = (1 << int(bws[i])) - 1
         v = rng.integers(0, hi + 1, e).astype(udtype)
@@ -61,9 +64,9 @@ def test_unpack_words_narrow_units(rng, width):
         acc = 0
         for k in range(e):
             acc |= int(v[k]) << (k * int(bws[i]))
-        units[i] = np.frombuffer(acc.to_bytes(e * width, "little"), udtype)
-    out = np.asarray(kbp.unpack_words(jnp.asarray(units), jnp.asarray(bws), interpret=True))
-    np.testing.assert_array_equal(out, vals)
+        words[i] = np.frombuffer(acc.to_bytes(e * 4, "little"), "<u4")
+    out = np.asarray(kbp.unpack_words(jnp.asarray(words), jnp.asarray(bws), interpret=True))
+    np.testing.assert_array_equal(out.astype(udtype), vals)
 
 
 def test_pallas_integration_in_cascaded(rng):

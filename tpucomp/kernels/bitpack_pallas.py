@@ -2,17 +2,21 @@
 
 Replaces the XLA word-granularity scatter (pack) and per-element gathers
 (unpack) with grid-sequential kernels that branch on the chunk's bitwidth:
-inside a kernel, ``lax.switch`` on a scalar executes exactly ONE branch
-per grid cell, so each branch can be fully static vector code (pure
-shifts/ors over strided columns).  Under XLA+vmap the same switch would
-evaluate every branch for the whole batch -- the reason the dense path
-keeps scatters.
+inside a kernel, ``lax.switch`` on a scalar executes exactly ONE branch per
+grid cell, so each branch is fully static vector code -- under XLA+vmap
+the same switch would evaluate every branch for the whole batch, which is
+why the dense path keeps scatters.
 
-Formats are identical to tpucomp.ops.bitpack (reference
+Mosaic-friendly structure: elements process in rows of 128 lanes.  A row's
+128*bw bits are a whole number of u32 words (4*bw), so every row's packed
+words are self-contained and all slices/concatenations use static offsets;
+no lane-crossing reshapes are needed.
+
+Stream format matches tpucomp.ops.bitpack (reference
 src/CascadedKernels.hiph:483-553,556-618): element i occupies bits
-[i*bw, (i+1)*bw) of a little-endian u32 bit stream.
-
-Supported widths: 1, 2, 4 (8-byte elements keep the XLA path).
+[i*bw, (i+1)*bw) of a little-endian u32 bit stream.  Both kernels work in
+u32 space (any element width <= 4 converts at the caller; a bw <= 32 value
+always fits in u32, and an element's bits span at most 2 u32 words).
 """
 
 from __future__ import annotations
@@ -23,22 +27,21 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from tpucomp.ops.bitpack import for_bitwidth
+ROW = 128  # elements per row; 128*bw bits == 4*bw words for every bw
 
 
 def _pack_branch(bwi: int, e: int):
-    """Static-bitwidth pack: [G, 32] uint32 FOR-relative values -> [G, 32]
-    u32 words, 2-D end to end (Mosaic-friendly); only the first
-    ceil(E*bwi/32) flattened words carry data."""
-    p = 32  # elements per group -> bwi words per group
+    """Static-bitwidth pack: [R, 128] uint32 values -> dense [E] u32 words."""
+    r_count = e // ROW
+    wpr = 4 * bwi  # words per row
 
     def branch(g):
         if bwi == 0:
-            return jnp.zeros((e // p, p), jnp.uint32)
+            return jnp.zeros((e,), jnp.uint32)
         cols = []
-        for j in range(bwi):
+        for j in range(wpr):
             e0 = (32 * j) // bwi
-            e1 = min((32 * (j + 1) - 1) // bwi, p - 1)
+            e1 = min((32 * (j + 1) - 1) // bwi, ROW - 1)
             acc = None
             for ei in range(e0, e1 + 1):
                 s = ei * bwi - 32 * j
@@ -46,154 +49,119 @@ def _pack_branch(bwi: int, e: int):
                 part = (v << jnp.uint32(s)) if s >= 0 else (v >> jnp.uint32(-s))
                 acc = part if acc is None else (acc | part)
             cols.append(acc)
-        # group words are contiguous in the stream: flatten [G, bwi] first,
-        # then pad the tail (zero bits past the last data word)
-        w = jnp.concatenate(cols, axis=1).reshape(-1)
-        pad = e - w.shape[0]
+        w2d = jnp.concatenate(cols, axis=1)  # [R, 4*bwi]
+        rows = [w2d[r] for r in range(r_count)]
+        pad = e - r_count * wpr
         if pad:
-            w = jnp.concatenate([w, jnp.zeros((pad,), jnp.uint32)])
-        return w.reshape(e // p, p)
+            rows.append(jnp.zeros((pad,), jnp.uint32))
+        return jnp.concatenate(rows) if len(rows) > 1 else rows[0]
 
     return branch
 
 
-def _unpack_branch(bwi: int, e: int, tbits: int):
-    """Static-bitwidth unpack: flat units[e] -> [G, P] values.
+def _unpack_branch(bwi: int, e: int):
+    """Static-bitwidth unpack: dense [E] u32 words -> [E] uint32 values."""
+    r_count = e // ROW
+    wpr = 4 * bwi
 
-    Group g holds elements [g*P, (g+1)*P) whose bits live in units
-    [g*UPG, (g+1)*UPG); column ei reads strided unit slices (static stride
-    UPG, static offset) -- no gathers, no data-dependent reshapes."""
-    p = 32 if tbits <= 32 else 64
-
-    def branch(units):
-        udtype = units.dtype
-        n_groups = e // p
+    def branch(words):
         if bwi == 0:
-            return jnp.zeros((n_groups, p), udtype)
-        upg = p * bwi // tbits  # units per group (integral by choice of p)
-        mask = udtype.type((1 << bwi) - 1) if bwi < tbits else ~udtype.type(0)
-
-        def ucol(k):  # units[g*upg + k] for each group, as a [G, 1] column
-            sl = jax.lax.slice(units, (k,), (k + (n_groups - 1) * upg + 1,), (upg,))
-            return sl.reshape(n_groups, 1)
-
+            return jnp.zeros((e,), jnp.uint32)
+        mask = jnp.uint32((1 << bwi) - 1) if bwi < 32 else ~jnp.uint32(0)
+        # row r's words: static slice [r*wpr, (r+1)*wpr)
+        w2d = jnp.concatenate(
+            [words[r * wpr : (r + 1) * wpr].reshape(1, wpr) for r in range(r_count)],
+            axis=0,
+        )  # [R, 4*bwi]
         cols = []
-        for ei in range(p):
+        for ei in range(ROW):
             bit0 = ei * bwi
-            lo = bit0 // tbits
-            off = bit0 - lo * tbits
-            hi = (bit0 + bwi - 1) // tbits
-            val = ucol(lo) >> udtype.type(off)
+            lo = bit0 // 32
+            off = bit0 - lo * 32
+            hi = (bit0 + bwi - 1) // 32
+            val = w2d[:, lo : lo + 1] >> jnp.uint32(off)
             if hi > lo and off:
-                val = val | (ucol(hi) << udtype.type(tbits - off))
+                val = val | (w2d[:, hi : hi + 1] << jnp.uint32(32 - off))
             cols.append(val & mask)
-        return jnp.concatenate(cols, axis=1)
+        out = jnp.concatenate(cols, axis=1)  # [R, 128]
+        return out.reshape(e)
 
     return branch
 
 
-def _pack_kernel(x_ref, n_ref, bw_ref, words_ref, *, e: int, tbits: int):
-    p = 32
-    g0 = x_ref[0, 0, :].reshape(e // p, p)
+def _pack_kernel(x_ref, n_ref, bw_ref, words_ref, *, e: int):
+    g0 = x_ref[0, 0, :].reshape(e // ROW, ROW)
     n = n_ref[0, 0, 0]
     bw = bw_ref[0, 0, 0]
-    r = jax.lax.broadcasted_iota(jnp.int32, (e // p, p), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (e // p, p), 1)
-    g = jnp.where(r * p + c < n, g0, 0).astype(jnp.uint32)
-    branches = [_pack_branch(b, e) for b in range(tbits + 1)]
-    words = jax.lax.switch(jnp.clip(bw, 0, tbits), branches, g)
-    words_ref[0, 0, :] = words.reshape(e)
+    r = jax.lax.broadcasted_iota(jnp.int32, (e // ROW, ROW), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (e // ROW, ROW), 1)
+    g = jnp.where(r * ROW + c < n, g0, 0).astype(jnp.uint32)
+    branches = [_pack_branch(b, e) for b in range(33)]
+    words_ref[0, 0, :] = jax.lax.switch(jnp.clip(bw, 0, 32), branches, g)
 
 
-def _unpack_kernel(units_ref, bw_ref, out_ref, *, e: int, tbits: int):
-    units = units_ref[0, 0, :]
+def _unpack_kernel(words_ref, bw_ref, out_ref, *, e: int):
+    words = words_ref[0, 0, :]
     bw = bw_ref[0, 0, 0]
-    branches = [_unpack_branch(b, e, tbits) for b in range(tbits + 1)]
-    out_ref[0, 0, :] = jax.lax.switch(jnp.clip(bw, 0, tbits), branches, units).reshape(e)
+    branches = [_unpack_branch(b, e) for b in range(33)]
+    out_ref[0, 0, :] = jax.lax.switch(jnp.clip(bw, 0, 32), branches, words)
 
 
-def pack_words_single(u, n, bw, *, interpret: bool = False):
-    """Single-chunk pack (vmap-friendly): u uint32[E] -> words uint32[E]."""
-    e = u.shape[-1]
-    assert e % 32 == 0
-    kernel = functools.partial(_pack_kernel, e=e, tbits=32)
+def _call3(kernel, b, e, dtype, *args, interpret):
     return pl.pallas_call(
         kernel,
-        grid=(1,),
-        in_specs=[
-            pl.BlockSpec((1, 1, e), lambda i: (0, 0, 0)),
-            pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0)),
-            pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, e), lambda i: (0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((1, 1, e), jnp.uint32),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, 1, a.shape[2]), lambda i: (i, 0, 0)) for a in args],
+        out_specs=pl.BlockSpec((1, 1, e), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 1, e), dtype),
         interpret=interpret,
-    )(
-        u.astype(jnp.uint32).reshape(1, 1, e),
-        n.astype(jnp.int32).reshape(1, 1, 1),
-        bw.astype(jnp.int32).reshape(1, 1, 1),
-    )[0, 0]
-
-
-def unpack_words_single(units, bw, *, interpret: bool = False):
-    """Single-chunk unpack (vmap-friendly): units unsigned[E] -> values."""
-    e = units.shape[-1]
-    tbits = jnp.iinfo(units.dtype).bits
-    assert e % (32 if tbits <= 32 else 64) == 0
-    kernel = functools.partial(_unpack_kernel, e=e, tbits=int(tbits))
-    return pl.pallas_call(
-        kernel,
-        grid=(1,),
-        in_specs=[
-            pl.BlockSpec((1, 1, e), lambda i: (0, 0, 0)),
-            pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, e), lambda i: (0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((1, 1, e), units.dtype),
-        interpret=interpret,
-    )(units.reshape(1, 1, e), bw.astype(jnp.int32).reshape(1, 1, 1))[0, 0]
+    )(*args)
 
 
 def pack_words(u, n, bw, *, interpret: bool = False):
     """Batched pack: u uint32[B, E] FOR-relative (zeros past n), n int32[B],
-    bw int32[B] (<= 32).  Returns words uint32[B, E]."""
+    bw int32[B] (<= 32).  Returns dense stream words uint32[B, E]."""
     b, e = u.shape
-    assert e % 32 == 0
-    tbits = 32
-    kernel = functools.partial(_pack_kernel, e=e, tbits=tbits)
-    return pl.pallas_call(
+    assert e % ROW == 0
+    kernel = functools.partial(_pack_kernel, e=e)
+    out = _call3(
         kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, 1, e), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, e), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, 1, e), jnp.uint32),
-        interpret=interpret,
-    )(
+        b,
+        e,
+        jnp.uint32,
         u.astype(jnp.uint32).reshape(b, 1, e),
         n.astype(jnp.int32).reshape(b, 1, 1),
         bw.astype(jnp.int32).reshape(b, 1, 1),
-    )[:, 0, :]
-
-
-def unpack_words(units, bw, *, interpret: bool = False):
-    """Batched unpack: units unsigned[B, E] raw stream units, bw int32[B].
-    Returns FOR-relative values unsigned[B, E]."""
-    b, e = units.shape
-    tbits = jnp.iinfo(units.dtype).bits
-    assert e % (32 if tbits <= 32 else 64) == 0
-    kernel = functools.partial(_unpack_kernel, e=e, tbits=int(tbits))
-    return pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, 1, e), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, e), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, 1, e), units.dtype),
         interpret=interpret,
-    )(units.reshape(b, 1, e), bw.astype(jnp.int32).reshape(b, 1, 1))[:, 0, :]
+    )
+    return out[:, 0, :]
+
+
+def unpack_words(words, bw, *, interpret: bool = False):
+    """Batched unpack: words uint32[B, E] dense stream, bw int32[B] (<= 32).
+    Returns FOR-relative values uint32[B, E]."""
+    b, e = words.shape
+    assert e % ROW == 0
+    kernel = functools.partial(_unpack_kernel, e=e)
+    out = _call3(
+        kernel,
+        b,
+        e,
+        jnp.uint32,
+        words.astype(jnp.uint32).reshape(b, 1, e),
+        bw.astype(jnp.int32).reshape(b, 1, 1),
+        interpret=interpret,
+    )
+    return out[:, 0, :]
+
+
+def pack_words_single(u, n, bw, *, interpret: bool = False):
+    """Single-chunk pack (vmap-friendly): u uint32[E] -> words uint32[E]."""
+    return pack_words(
+        u.reshape(1, -1), n.reshape(1), bw.reshape(1), interpret=interpret
+    )[0]
+
+
+def unpack_words_single(words, bw, *, interpret: bool = False):
+    """Single-chunk unpack (vmap-friendly): u32 stream words -> values."""
+    return unpack_words(words.reshape(1, -1), bw.reshape(1), interpret=interpret)[0]

@@ -210,17 +210,21 @@ def _unpack_words_dispatch(units, bw, out_elements: int):
     tbits = jnp.iinfo(udtype).bits
     from tpucomp import config as _cfg
 
-    p = 32 if tbits <= 32 else 64
-    if _cfg.pallas_enabled() and tbits <= 32 and out_elements % p == 0:
+    if _cfg.pallas_enabled() and tbits <= 32 and out_elements % 128 == 0:
         import jax as _jax
 
         from tpucomp.kernels import bitpack_pallas as kbp
 
         interp = _jax.default_backend() != "tpu"
-        uu = units[:out_elements]
-        if uu.shape[-1] < out_elements:
-            uu = jnp.concatenate(
-                [uu, jnp.zeros((out_elements - uu.shape[-1],), udtype)]
+        # the kernel works in u32 word space; reinterpret the unit stream
+        wanted = out_elements * (tbits // 8)
+        raw = bits.units_to_bytes_le(units)
+        if raw.shape[-1] < wanted:
+            raw = jnp.concatenate([raw, jnp.zeros((wanted - raw.shape[-1],), jnp.uint8)])
+        words = bits.bytes_to_units_le(raw[: out_elements * 4], 4)
+        if words.shape[-1] < out_elements:
+            words = jnp.concatenate(
+                [words, jnp.zeros((out_elements - words.shape[-1],), jnp.uint32)]
             )
-        return kbp.unpack_words_single(uu, bw, interpret=interp)
+        return kbp.unpack_words_single(words, bw, interpret=interp).astype(udtype)
     return _unpack_words_gather64(units, bw, out_elements)
