@@ -159,11 +159,33 @@ def main():
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--codec", choices=["cascaded", "lz4", "snappy", "all"], default="cascaded")
+    p.add_argument(
+        "--codec", choices=["cascaded", "lz4", "snappy", "all", "main"], default="main"
+    )
     p.add_argument("--mb", type=int, default=None)
     args = p.parse_args()
 
     target = 0.5 * _chip_roofline()
+    if args.codec == "main":  # the BASELINE north-star pair: cascaded + lz4
+        rc = bench_cascaded(total_mb=args.mb or 64)
+        rl = bench_lz("lz4", total_mb=min(args.mb or 8, 8))
+        vals = [min(r["encode_gbps"], r["decode_gbps"]) for r in (rc, rl)]
+        geo = float(np.prod(vals)) ** 0.5
+        print(
+            json.dumps(
+                {
+                    "metric": "geomean min(enc,dec) GB/s/chip, cascaded+lz4 64KB chunks "
+                    f"(cascaded:enc={rc['encode_gbps']:.3f},dec={rc['decode_gbps']:.3f},"
+                    f"ratio={rc['ratio']:.2f},ok={rc['roundtrip_ok']} "
+                    f"lz4:enc={rl['encode_gbps']:.4f},dec={rl['decode_gbps']:.4f},"
+                    f"ratio={rl['ratio']:.2f},ok={rl['roundtrip_ok']})",
+                    "value": round(geo, 4),
+                    "unit": "GB/s",
+                    "vs_baseline": round(geo / target, 5),
+                }
+            )
+        )
+        return
     if args.codec in ("cascaded",):
         r = bench_cascaded(total_mb=args.mb or 64)
         label = "cascaded"
