@@ -106,20 +106,6 @@ def words_to_bytes_le(w):
     return units_to_bytes_le(w.astype(jnp.uint32))
 
 
-def segment_positions(flags, num_segments_cap: int):
-    """Positions of set flags: out[k] = index of the k-th true in ``flags``.
-
-    Gather-only formulation (TPU-friendly): inclusive cumsum + searchsorted.
-    Entries past the number of set flags are clamped to the last position.
-    Returns (positions int32[num_segments_cap], count int32).
-    """
-    s = jnp.cumsum(flags.astype(jnp.int32))
-    count = s[-1] if flags.size else jnp.int32(0)
-    k = jnp.arange(1, num_segments_cap + 1, dtype=jnp.int32)
-    pos = jnp.searchsorted(s, k, side="left").astype(jnp.int32)
-    return jnp.minimum(pos, flags.shape[-1] - 1), count
-
-
 def write_section(out, src, offset, size):
     """out[offset + i] = src[i] for i < size; dense gather/select formulation.
 
@@ -131,28 +117,6 @@ def write_section(out, src, offset, size):
     take = (idx >= 0) & (idx < jnp.minimum(size, src.shape[0]))
     vals = src[jnp.clip(idx, 0, src.shape[0] - 1)]
     return jnp.where(take, vals, out)
-
-
-def concat_blobs(bufs, offsets, sizes, out_size: int):
-    """Gapless-with-padding concatenation of K variable-size blobs.
-
-    out[offsets[k] + i] = bufs[k, i] for i < sizes[k]; bytes not covered by
-    any blob (alignment gaps, tail) are 0.  ``offsets`` must be ascending.
-    Dense searchsorted + gather formulation, cost O(out_size log K).
-
-    This replaces the reference's atomicAdd-ordered output packing
-    (src/hipcomp_common_deps/hlif_shared.hiph:203-210) with a deterministic
-    prefix-sum layout.
-    """
-    k_max, s_max = bufs.shape
-    t = jnp.arange(out_size, dtype=jnp.int32)
-    k = jnp.searchsorted(offsets.astype(jnp.int32), t, side="right").astype(jnp.int32) - 1
-    k_c = jnp.clip(k, 0, k_max - 1)
-    src = t - offsets[k_c].astype(jnp.int32)
-    valid = (k >= 0) & (src >= 0) & (src < sizes[k_c].astype(jnp.int32)) & (src < s_max)
-    flat = bufs.reshape(-1)
-    vals = flat[jnp.clip(k_c * s_max + src, 0, flat.shape[0] - 1)]
-    return jnp.where(valid, vals, 0).astype(bufs.dtype)
 
 
 def read_section(buf, offset, size: int):

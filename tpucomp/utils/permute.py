@@ -87,19 +87,6 @@ def place(values, targets, valid, out_size: int):
     return out[:out_size]
 
 
-def compact(values, valid, out_size: int | None = None):
-    """Stream compaction: valid values moved to the front, order kept.
-
-    Returns (compacted values, count).
-    """
-    n = values.shape[-1]
-    out_size = n if out_size is None else out_size
-    i = jnp.arange(n, dtype=jnp.int32)
-    key = jnp.where(valid, i, n + i)  # stable, invalid pushed back in order
-    _, out = jax.lax.sort((key, values), num_keys=1, is_stable=True)
-    return out[:out_size], jnp.sum(valid.astype(jnp.int32))
-
-
 def expand_runs(vals, starts, num_runs, out_size: int):
     """Run expansion: out[j] = vals[r] for the largest r with starts[r] <= j.
 
@@ -127,28 +114,3 @@ def expand_runs(vals, starts, num_runs, out_size: int):
     qpos = jnp.where(sm, BIG, sk >> 1)
     _, out = jax.lax.sort((qpos, filled), num_keys=1, is_stable=True)
     return out[:out_size]
-
-
-def monotone_gather(table, queries, table_len=None):
-    """out[j] = table[queries[j]] for NONDECREASING queries.
-
-    Merge-sort formulation of a monotone gather (e.g. bit-unpack unit
-    lookups).  ``queries`` must be sorted ascending; values outside
-    [0, len(table)) read 0.
-    """
-    t_count = table.shape[-1]
-    out_size = queries.shape[-1]
-    idx = jnp.arange(t_count, dtype=jnp.int32)
-    mk = 2 * idx
-    qk = 2 * jnp.clip(queries.astype(jnp.int32), 0, t_count - 1) + 1
-    keys = jnp.concatenate([mk, qk])
-    vv = jnp.concatenate([table, jnp.zeros((out_size,), table.dtype)])
-    is_marker = jnp.concatenate(
-        [jnp.ones((t_count,), jnp.bool_), jnp.zeros((out_size,), jnp.bool_)]
-    )
-    sk, sv, sm = jax.lax.sort((keys, vv, is_marker), num_keys=1, is_stable=True)
-    filled = ffill(sv, sm)
-    qorder = jnp.where(sm, BIG, jnp.cumsum((~sm).astype(jnp.int32)) - 1)
-    _, out = jax.lax.sort((qorder, filled), num_keys=1, is_stable=True)
-    out = out[:out_size]
-    return jnp.where((queries >= 0) & (queries < t_count), out, 0).astype(table.dtype)
