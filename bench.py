@@ -68,7 +68,13 @@ def _chip_roofline() -> float:
     return 819.0
 
 
-def bench_cascaded(total_mb: int = 64, iters: int = 2) -> dict:
+def bench_cascaded(total_mb: int = 64, iters: int = 2, tile: int = 256) -> dict:
+    """Throughput over the corpus, dispatched in ``tile``-chunk sub-batches.
+
+    Intermediate buffers scale with the batch dim, and oversized batches
+    degrade superlinearly from HBM pressure (PERF.md); a pipelined caller
+    dispatches sweet-spot tiles, so the bench does too.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -80,41 +86,48 @@ def bench_cascaded(total_mb: int = 64, iters: int = 2) -> dict:
     total = total_mb * 1024 * 1024
     corpus = synth_corpus(total)
     b = total // chunk
-    data = np.frombuffer(corpus, np.uint8)[: b * chunk].reshape(b, chunk)
-    lengths = np.full((b,), chunk, np.int32)
-    d, l = jnp.asarray(data), jnp.asarray(lengths)
+    tile = min(tile, b)
+    b = b // tile * tile
+    total = b * chunk
+    data = np.frombuffer(corpus, np.uint8)[: b * chunk].reshape(b // tile, tile, chunk)
+    lengths = np.full((tile,), chunk, np.int32)
+    tiles = [jnp.asarray(t) for t in data]
+    l = jnp.asarray(lengths)
 
     # device_get of a small result forces real completion (block_until_ready
     # can return early through remote-device tunnels)
-    comp, sizes = cc.compress(d, l, opts)  # compile + warm
-    jax.device_get(sizes)
+    comp0 = cc.compress(tiles[0], l, opts)  # compile + warm
+    jax.device_get(comp0[1])
     t0 = time.perf_counter()
     for _ in range(iters):
-        comp, sizes = cc.compress(d, l, opts)
-    jax.device_get(sizes)
+        comps = [cc.compress(t, l, opts) for t in tiles]
+    jax.device_get(comps[-1][1])
     enc_s = (time.perf_counter() - t0) / iters
 
-    out = cc.decompress(comp, sizes, opts, chunk)
-    jax.device_get(out[2])
+    out0 = cc.decompress(comps[0][0], comps[0][1], opts, chunk)
+    jax.device_get(out0[2])
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = cc.decompress(comp, sizes, opts, chunk)
-    jax.device_get(out[2])
+        outs = [cc.decompress(c, s, opts, chunk) for c, s in comps]
+    jax.device_get(outs[-1][2])
     dec_s = (time.perf_counter() - t0) / iters
 
-    ok = bool((np.asarray(out[0]) == data).all() and (np.asarray(out[2]) == 0).all())
-    ratio = total / float(np.asarray(sizes).sum())
+    ok = all(
+        bool((np.asarray(o[0]) == d).all() and (np.asarray(o[2]) == 0).all())
+        for o, d in zip(outs, data)
+    )
+    comp_total = sum(float(np.asarray(s).sum()) for _, s in comps)
     gb = total / 1e9
     return {
         "encode_gbps": gb / enc_s,
         "decode_gbps": gb / dec_s,
-        "ratio": ratio,
+        "ratio": total / comp_total,
         "roundtrip_ok": ok,
     }
 
 
-def bench_lz(codec_name: str, total_mb: int = 8, iters: int = 2) -> dict:
-    """LZ4 / Snappy batched throughput (64KB chunks)."""
+def bench_lz(codec_name: str, total_mb: int = 8, iters: int = 2, tile: int = 128) -> dict:
+    """LZ4 / Snappy batched throughput (64KB chunks, tiled dispatch)."""
     import jax
     import jax.numpy as jnp
 
@@ -127,30 +140,38 @@ def bench_lz(codec_name: str, total_mb: int = 8, iters: int = 2) -> dict:
     total = total_mb * 1024 * 1024
     corpus = synth_corpus(total, seed=1)
     b = total // chunk
-    data = np.frombuffer(corpus, np.uint8)[: b * chunk].reshape(b, chunk)
-    d, l = jnp.asarray(data), jnp.full((b,), chunk, jnp.int32)
+    tile = min(tile, b)
+    b = b // tile * tile
+    total = b * chunk
+    data = np.frombuffer(corpus, np.uint8)[: b * chunk].reshape(b // tile, tile, chunk)
+    tiles = [jnp.asarray(t) for t in data]
+    l = jnp.full((tile,), chunk, jnp.int32)
 
-    comp, sizes = codec.compress(d, l)
-    jax.device_get(sizes)
+    comp0 = codec.compress(tiles[0], l)
+    jax.device_get(comp0[1])
     t0 = time.perf_counter()
     for _ in range(iters):
-        comp, sizes = codec.compress(d, l)
-    jax.device_get(sizes)
+        comps = [codec.compress(t, l) for t in tiles]
+    jax.device_get(comps[-1][1])
     enc_s = (time.perf_counter() - t0) / iters
 
-    out = codec.decompress(comp, sizes, out_capacity=chunk)
-    jax.device_get(out[2])
+    out0 = codec.decompress(comps[0][0], comps[0][1], out_capacity=chunk)
+    jax.device_get(out0[2])
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = codec.decompress(comp, sizes, out_capacity=chunk)
-    jax.device_get(out[2])
+        outs = [codec.decompress(c, s, out_capacity=chunk) for c, s in comps]
+    jax.device_get(outs[-1][2])
     dec_s = (time.perf_counter() - t0) / iters
 
-    ok = bool((np.asarray(out[0]) == data).all() and (np.asarray(out[2]) == 0).all())
+    ok = all(
+        bool((np.asarray(o[0]) == d).all() and (np.asarray(o[2]) == 0).all())
+        for o, d in zip(outs, data)
+    )
+    comp_total = sum(float(np.asarray(s).sum()) for _, s in comps)
     return {
         "encode_gbps": total / 1e9 / enc_s,
         "decode_gbps": total / 1e9 / dec_s,
-        "ratio": total / float(np.asarray(sizes).sum()),
+        "ratio": total / comp_total,
         "roundtrip_ok": ok,
     }
 
