@@ -63,9 +63,9 @@ def lz4_decompress_oracle(comp: bytes, max_out: int | None = None) -> bytes:
     return bytes(out)
 
 
-def lz4_compress_oracle(data: bytes, max_match: int = 48) -> bytes:
-    # max_match mirrors the JAX compressor's extension cap (12 4-byte
-    # windows including the seed verification, so 48) for
+def lz4_compress_oracle(data: bytes, max_match: int = 52) -> bytes:
+    # max_match mirrors the JAX compressor's extension cap (4 guaranteed
+    # seed bytes + 12 4-byte windows = 52) for
     # offsets > 8; offsets <= 8 extend exactly in both implementations.
     """Greedy LZ4 encoder with an exact nearest-previous-occurrence matcher
     (like the JAX compressor's sort-based matcher, so parses agree on most

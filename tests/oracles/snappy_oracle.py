@@ -108,7 +108,7 @@ def _emit_literal(out: bytearray, data: bytes):
     out += data
 
 
-def snappy_compress_oracle(data: bytes, max_match: int = 48, max_offset: int = 32768) -> bytes:
+def snappy_compress_oracle(data: bytes, max_match: int = 52, max_offset: int = 32768) -> bytes:
     """Greedy encoder with the exact nearest-previous-occurrence matcher
     (mirrors the JAX compressor: offsets <= 8 extend exactly, larger offsets
     cap at max_match)."""

@@ -53,7 +53,7 @@ MAX_OFFSET = 65535
 MIN_MATCH = 4
 LAST_LITERALS = 5  # reference src/LZ4Kernels.hiph:168
 LAST_VALID_MATCH = 13  # match start <= n - 13 (mirrors the test oracle)
-MAX_EXT_ITERS = 12  # match cap 12*4 = 48 bytes for offsets > 8
+MAX_EXT_ITERS = 12  # match cap 4 + 12*4 = 52 bytes for offsets > 8
 SMALL_OFFSETS = 8  # exact (uncapped) match lengths for offsets 1..8
 PARSE_BLOCK = 4096  # independent greedy-parse blocks (lz77.block_parallel_parse)
 

@@ -104,8 +104,11 @@ def match_lengths(data, n, j, max_offset: int, small_offsets: int, max_ext_iters
         _, active, it = carry
         return jnp.any(active) & (it < max_ext_iters)
 
+    # the first window is guaranteed equal (the candidate shares the 4-byte
+    # sort key), so extension starts at mlen = 4
+    active0 = cand & ~small
     mlen_big, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.zeros((c,), jnp.int32), cand & ~small, jnp.int32(0))
+        cond, body, (jnp.where(active0, 4, 0).astype(jnp.int32), active0, jnp.int32(0))
     )
 
     mlen = jnp.where(small, mlen_small, mlen_big)
