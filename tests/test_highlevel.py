@@ -124,3 +124,33 @@ def test_unknown_format_rejected(rng):
     bad[6] = hdr.FORMAT_GDEFLATE  # format byte
     with pytest.raises(ValueError):
         create_manager(jnp.asarray(bad))
+
+
+def test_header_golden_bytes():
+    """Frozen CommonHeader byte layout (regression guard for the
+    reference-struct compatibility, hlif_shared_types.hpp:66-82)."""
+    h = hdr.CommonHeader(
+        format=hdr.FORMAT_CASCADED,
+        comp_data_size=0x1122334455,
+        decomp_data_size=0x66778899,
+        num_chunks=7,
+        uncomp_chunk_size=65536,
+        comp_data_offset=0x58,
+    )
+    raw = h.pack()
+    assert len(raw) == 64
+    golden = (
+        b"\x00\x00\x00\x00"          # magic
+        b"\x02\x02\x04\x00"          # major, minor, format, pad
+        b"\x55\x44\x33\x22\x11\x00\x00\x00"  # comp_data_size
+        b"\x99\x88\x77\x66\x00\x00\x00\x00"  # decomp_data_size
+        b"\x07\x00\x00\x00\x00\x00\x00\x00"  # num_chunks
+        b"\x01\x00\x00\x00"          # include_chunk_starts + pad
+        b"\x00\x00\x00\x00" b"\x00\x00\x00\x00"  # checksums (reserved)
+        b"\x00\x00\x00\x00"          # per-chunk checksum flags + pad
+        b"\x00\x00\x01\x00\x00\x00\x00\x00"  # uncomp_chunk_size (65536)
+        b"\x58\x00\x00\x00\x00\x00\x00\x00"  # comp_data_offset + pad
+    )
+    assert raw == golden
+    back = hdr.CommonHeader.unpack(raw)
+    assert back == h
