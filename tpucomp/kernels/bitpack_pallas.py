@@ -30,14 +30,21 @@ from jax.experimental import pallas as pl
 ROW = 128  # elements per row; 128*bw bits == 4*bw words for every bw
 
 
-def _pack_branch(bwi: int, e: int):
-    """Static-bitwidth pack: [R, 128] uint32 values -> dense [E] u32 words."""
+def _pack_branch(bwi: int, e: int, out_ref):
+    """Static-bitwidth pack: [R, 128] uint32 values -> dense u32 words
+    written straight into ``out_ref``.
+
+    Mosaic-validated ops only: axis-1 concat of [R, 1] columns, and static
+    unaligned 1-D stores of each row's words (no lane-crossing reshape or
+    axis-0/1-D concatenation, which Mosaic rejects).
+    """
     r_count = e // ROW
     wpr = 4 * bwi  # words per row
 
     def branch(g):
+        out_ref[0, 0, :] = jnp.zeros((e,), jnp.uint32)
         if bwi == 0:
-            return jnp.zeros((e,), jnp.uint32)
+            return
         cols = []
         for j in range(wpr):
             e0 = (32 * j) // bwi
@@ -50,17 +57,20 @@ def _pack_branch(bwi: int, e: int):
                 acc = part if acc is None else (acc | part)
             cols.append(acc)
         w2d = jnp.concatenate(cols, axis=1)  # [R, 4*bwi]
-        rows = [w2d[r] for r in range(r_count)]
-        pad = e - r_count * wpr
-        if pad:
-            rows.append(jnp.zeros((pad,), jnp.uint32))
-        return jnp.concatenate(rows) if len(rows) > 1 else rows[0]
+        for r in range(r_count):
+            out_ref[0, 0, r * wpr : (r + 1) * wpr] = w2d[r]
 
     return branch
 
 
 def _unpack_branch(bwi: int, e: int):
-    """Static-bitwidth unpack: dense [E] u32 words -> [E] uint32 values."""
+    """Static-bitwidth unpack: dense [E] u32 words -> [E] uint32 values.
+
+    Word "columns" across element rows are strided slices of the dense
+    stream (row r's word k lives at r*wpr + k); outputs assemble with the
+    Mosaic-validated axis-1 concat of [R, 1] columns + lane-preserving
+    reshape.
+    """
     r_count = e // ROW
     wpr = 4 * bwi
 
@@ -68,20 +78,20 @@ def _unpack_branch(bwi: int, e: int):
         if bwi == 0:
             return jnp.zeros((e,), jnp.uint32)
         mask = jnp.uint32((1 << bwi) - 1) if bwi < 32 else ~jnp.uint32(0)
-        # row r's words: static slice [r*wpr, (r+1)*wpr)
-        w2d = jnp.concatenate(
-            [words[r * wpr : (r + 1) * wpr].reshape(1, wpr) for r in range(r_count)],
-            axis=0,
-        )  # [R, 4*bwi]
+
+        def wcol(k):  # words[r*wpr + k] for every row, as [R, 1]
+            sl = jax.lax.slice(words, (k,), (k + (r_count - 1) * wpr + 1,), (wpr,))
+            return sl.reshape(r_count, 1)
+
         cols = []
         for ei in range(ROW):
             bit0 = ei * bwi
             lo = bit0 // 32
             off = bit0 - lo * 32
             hi = (bit0 + bwi - 1) // 32
-            val = w2d[:, lo : lo + 1] >> jnp.uint32(off)
+            val = wcol(lo) >> jnp.uint32(off)
             if hi > lo and off:
-                val = val | (w2d[:, hi : hi + 1] << jnp.uint32(32 - off))
+                val = val | (wcol(hi) << jnp.uint32(32 - off))
             cols.append(val & mask)
         out = jnp.concatenate(cols, axis=1)  # [R, 128]
         return out.reshape(e)
@@ -96,8 +106,8 @@ def _pack_kernel(x_ref, n_ref, bw_ref, words_ref, *, e: int):
     r = jax.lax.broadcasted_iota(jnp.int32, (e // ROW, ROW), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (e // ROW, ROW), 1)
     g = jnp.where(r * ROW + c < n, g0, 0).astype(jnp.uint32)
-    branches = [_pack_branch(b, e) for b in range(33)]
-    words_ref[0, 0, :] = jax.lax.switch(jnp.clip(bw, 0, 32), branches, g)
+    branches = [_pack_branch(b, e, words_ref) for b in range(33)]
+    jax.lax.switch(jnp.clip(bw, 0, 32), branches, g)
 
 
 def _unpack_kernel(words_ref, bw_ref, out_ref, *, e: int):
