@@ -379,9 +379,12 @@ def _compress_partition(data, length, opts: CascadedOpts):
     body = jnp.where(use_fallback, raw_body, body)
     out = body.at[:PARTITION_HEADER].set(header)
     size = jnp.where(use_fallback, fallback_size, total_size)
-    # empty partition: size 0 (reference :857-861)
-    size = jnp.where(n_elems > 0, size, 0)
-    out = jnp.where(n_elems > 0, out, jnp.zeros_like(out))
+    # empty *input* gets size 0 (reference :857-861); a sub-element-width
+    # input (0 < length < w, so n_elems == 0) still emits the
+    # roundUp(8, w)-byte header-only partition that decompresses to 0 bytes
+    # (reference src/CascadedKernels.hiph:1183-1192 accepts it).
+    size = jnp.where(length > 0, size, 0)
+    out = jnp.where(length > 0, out, jnp.zeros_like(out))
     return out, size.astype(jnp.int32)
 
 

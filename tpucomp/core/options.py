@@ -60,6 +60,17 @@ class CascadedOpts:
 
     def validate(self) -> None:
         w = width_of(self.type)
+        if w == 8:
+            # 64-bit element types require x64 mode; without it JAX silently
+            # downcasts uint64 to uint32 and the artifact is corrupt.
+            import jax
+
+            if not jax.config.jax_enable_x64:
+                raise ValueError(
+                    "cascaded LONGLONG/ULONGLONG element types require 64-bit "
+                    "mode: set jax.config.update('jax_enable_x64', True) (or "
+                    "JAX_ENABLE_X64=1) before compressing 8-byte elements"
+                )
         if not (sizing.CASCADED_MIN_CHUNK <= self.chunk_size <= sizing.CASCADED_MAX_CHUNK):
             raise ValueError(
                 f"cascaded chunk_size {self.chunk_size} outside "

@@ -101,6 +101,13 @@ class Manager:
         cs = self.uncomp_chunk_size
         k = cfg.num_chunks
 
+        if cfg.max_compressed_buffer_size >= 2**31:
+            # int32 placement indices would silently wrap (the header format
+            # itself is u64; large-buffer support needs x64 placement)
+            raise ValueError(
+                f"compressed buffer bound {cfg.max_compressed_buffer_size} "
+                "exceeds the 2 GiB artifact limit; split the input"
+            )
         padded = jnp.zeros((k * cs,), jnp.uint8).at[:n].set(data)
         chunks = padded.reshape(k, cs)
         lengths = jnp.clip(
@@ -108,52 +115,30 @@ class Manager:
         ).astype(jnp.int32)
         comp, sizes = self._codec_compress(chunks, lengths)
 
-        # gapless deterministic packing via exclusive cumsum
-        sizes = sizes.astype(jnp.int64)
-        inc = jnp.cumsum(sizes)
-        offsets = inc - sizes
-        comp_data_size = inc[-1]
-
-        data_off = hdr.data_region_offset(self.format_id, k)
-        out_max = cfg.max_compressed_buffer_size
-        s_max = comp.shape[-1]
-
-        # place chunk payloads after the header sections
-        tgts = (data_off + offsets[:, None] + jnp.arange(s_max, dtype=jnp.int64)[None, :]).astype(
-            jnp.int32
-        )
-        oks = jnp.arange(s_max, dtype=jnp.int32)[None, :] < sizes[:, None].astype(jnp.int32)
-        vals = comp.reshape(-1)
-        tgts = tgts.reshape(-1)
-        oks = oks.reshape(-1)
-        hdr_pad = jnp.zeros((data_off,), jnp.uint8)
-        vals = jnp.concatenate([hdr_pad, vals])
-        tgts = jnp.concatenate([jnp.arange(data_off, dtype=jnp.int32), tgts])
-        oks = jnp.concatenate([jnp.ones((data_off,), jnp.bool_), oks])
-        if vals.shape[0] < out_max:
-            pad = out_max - vals.shape[0]
-            vals = jnp.concatenate([vals, jnp.zeros((pad,), jnp.uint8)])
-            tgts = jnp.concatenate([tgts, jnp.zeros((pad,), jnp.int32)])
-            oks = jnp.concatenate([oks, jnp.zeros((pad,), jnp.bool_)])
-        artifact = permute.place(vals, tgts, oks, out_max)
-
-        # header + sections (host-built, device-written; metadata is tiny)
-        total_size = int(comp_data_size) + data_off
+        # static header prefix: everything except comp_data_size and the
+        # chunk offset/size tables, which are written on device below
+        # (reference fills the header device-side too, hlif_shared.hiph:113-130)
         common = hdr.CommonHeader(
             format=self.format_id,
-            comp_data_size=int(comp_data_size),
+            comp_data_size=0,
             decomp_data_size=n,
             num_chunks=k,
             uncomp_chunk_size=cs,
-            comp_data_offset=data_off,
+            comp_data_offset=hdr.data_region_offset(self.format_id, k),
         )
         head = bytearray(common.pack())
         head += hdr.pack_format_spec(self.format_id, self.opts)
         head += b"\x00" * (hdr.sections_offset(self.format_id) - len(head))
-        head += np.asarray(jax.device_get(offsets)).astype("<u8").tobytes()
-        head += np.asarray(jax.device_get(sizes)).astype("<u8").tobytes()
-        head += b"\x00" * (8 * k)  # reserved per-chunk checksums (u32 x n x 2)
-        artifact = artifact.at[: len(head)].set(jnp.asarray(np.frombuffer(bytes(head), np.uint8)))
+        static_head = jnp.asarray(np.frombuffer(bytes(head), np.uint8))
+
+        artifact, total_size = _assemble_artifact(
+            comp,
+            sizes,
+            static_head,
+            data_off=common.comp_data_offset,
+            sections_off=hdr.sections_offset(self.format_id),
+            out_max=cfg.max_compressed_buffer_size,
+        )
         return artifact, total_size
 
     def configure_decompression(self, artifact) -> DecompressionConfig:
@@ -256,6 +241,59 @@ class CascadedManager(Manager):
 
     def _max_comp_chunk_size(self, chunk_bytes: int) -> int:
         return cascaded_max_compressed_chunk_size(chunk_bytes)
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("data_off", "sections_off", "out_max"))
+def _assemble_artifact(comp, sizes, static_head, *, data_off, sections_off, out_max):
+    """Assemble the self-describing artifact entirely on device.
+
+    Writes comp_data_size into the CommonHeader (offset 8, u64 LE), the
+    chunk offset/size tables (u64 LE each), and places the chunk payloads
+    gaplessly after the header region — all as one async dispatch chain,
+    mirroring the reference's device-side header fill
+    (src/hipcomp_common_deps/hlif_shared.hiph:113-130) without the host
+    sync the round-1 implementation had.
+    """
+    k, s_max = comp.shape
+    sizes = sizes.astype(jnp.int32)
+    inc = jnp.cumsum(sizes)
+    offsets = inc - sizes
+    comp_data_size = inc[-1]
+
+    def u64le(v):  # int32[k] -> uint8[k,8] little-endian (values < 2^31)
+        v = v.astype(jnp.uint32)
+        lo = jnp.stack(
+            [((v >> jnp.uint32(8 * i)) & jnp.uint32(0xFF)).astype(jnp.uint8) for i in range(4)],
+            axis=-1,
+        )
+        return jnp.concatenate([lo, jnp.zeros(v.shape + (4,), jnp.uint8)], axis=-1)
+
+    head = jnp.zeros((data_off,), jnp.uint8)
+    head = head.at[: static_head.shape[0]].set(static_head)
+    head = head.at[8:16].set(u64le(comp_data_size[None]).reshape(8))
+    head = head.at[sections_off : sections_off + 8 * k].set(u64le(offsets).reshape(-1))
+    head = head.at[sections_off + 8 * k : sections_off + 16 * k].set(u64le(sizes).reshape(-1))
+    # per-chunk checksum sections (u32 x k x 2) stay reserved-zero
+
+    # gapless deterministic payload packing via scatter-by-sort
+    tgts = offsets[:, None] + jnp.arange(s_max, dtype=jnp.int32)[None, :]
+    oks = jnp.arange(s_max, dtype=jnp.int32)[None, :] < sizes[:, None]
+    payload_max = out_max - data_off
+    vals = comp.reshape(-1)
+    tgts = tgts.reshape(-1)
+    oks = oks.reshape(-1)
+    if vals.shape[0] < payload_max:
+        pad = payload_max - vals.shape[0]
+        vals = jnp.concatenate([vals, jnp.zeros((pad,), jnp.uint8)])
+        tgts = jnp.concatenate([tgts, jnp.zeros((pad,), jnp.int32)])
+        oks = jnp.concatenate([oks, jnp.zeros((pad,), jnp.bool_)])
+    payload = permute.place(vals, tgts, oks, payload_max)
+
+    artifact = jnp.concatenate([head, payload])
+    return artifact, data_off + comp_data_size
 
 
 def create_manager(artifact) -> Manager:
