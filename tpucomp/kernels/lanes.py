@@ -1,0 +1,282 @@
+"""Column-major tile primitives for Pallas TPU codec kernels.
+
+Arrays are ``[SUB, L]`` tiles holding a flattened stream in **column-major**
+order: element ``i`` lives at ``[i % SUB, i // SUB]`` (SUB = 32 sublanes).
+This layout makes "32 consecutive elements" one lane column, which is
+exactly one bit-pack group, and it turns every data-dependent permutation
+the cascaded/LZ codecs need into log-many roll+select passes:
+
+  - prefix sums / reductions  -> two-level (sublane, lane) log scans
+  - stream compaction         -> butterfly left-shift, low->high bit order
+  - run expansion / placement -> butterfly right-shift, high->low bit order
+  - dynamic placement         -> bit-decomposed grouped rolls
+
+Correctness of the butterfly networks requires monotone move distances
+(per segment), which compaction/expansion targets always satisfy; verified
+by exhaustive randomized simulation (see tests/test_lanes.py).
+
+Mosaic capability notes (probed on v5e, scripts/mosaic_probe_r2.py):
+``pltpu.roll`` with static AND traced shifts works on both axes;
+``jnp.cumsum``/``associative_scan``, dynamic-index scalar reads, and
+dynamic-offset block stores are NOT supported -- everything here is
+full-tile dense ops and rolls only.
+
+These functions run inside Pallas kernels (traced on refs' values) and in
+interpret mode; they contain no memory-space operations.
+
+This module is the TPU-native counterpart of the reference's warp/block
+primitives (hipcub BlockScan/BlockReduce, warp ballots; reference
+src/CascadedKernels.hiph:129-305, src/LZ4Kernels.hiph:219-245).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+SUB = 32  # sublanes per tile; one lane column == one bit-pack group
+
+
+def _ilog2_ceil(n: int) -> int:
+    return max(1, (n - 1).bit_length())
+
+
+def sublane_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+
+
+def lane_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+
+def flat_iota(shape):
+    """Column-major flat index of every slot."""
+    return sublane_iota(shape) + shape[0] * lane_iota(shape)
+
+
+def group_lane_roll(x, q: int, span: int):
+    """Roll lanes forward by ``q`` (static) within every ``span``-lane group."""
+    q = q % span
+    if q == 0:
+        return x
+    if span == x.shape[1]:
+        return pltpu.roll(x, q, axis=1)
+    a = pltpu.roll(x, q, axis=1)
+    b = pltpu.roll(x, (q - span) % x.shape[1], axis=1)
+    lane_in = lane_iota(x.shape) % span
+    return jnp.where(lane_in >= q, a, b)
+
+
+def flat_roll_static(x, d: int, span: int):
+    """Circular column-major roll by static ``d`` within ``span``-lane groups
+    (element i -> i + d mod span*SUB, groups independent)."""
+    s = x.shape[0]
+    total = span * s
+    d = d % total
+    if d == 0:
+        return x
+    r, q = d % s, d // s
+    if r == 0:
+        return group_lane_roll(x, q, span)
+    y = pltpu.roll(x, r, axis=0)
+    lo = group_lane_roll(y, q, span)       # sublanes that did not wrap
+    hi = group_lane_roll(y, q + 1, span)   # wrapped sublanes advance a lane
+    return jnp.where(sublane_iota(x.shape) < r, hi, lo)
+
+
+def flat_roll_dynamic(x, d, span: int):
+    """Circular column-major roll by a traced per-group ``d``.
+
+    ``d`` is an int32 [SUB, L] array constant within each ``span``-lane
+    group (broadcast per-group shift).  Bit-decomposed into
+    log2(span*SUB) static-shift passes selected by d's bits.
+    """
+    total = span * x.shape[0]
+    nbits = _ilog2_ceil(total)
+    d = d.astype(jnp.int32) % total
+    for s in range(nbits):
+        moved = flat_roll_static(x, 1 << s, span)
+        x = jnp.where((d >> s) & 1 == 1, moved, x)
+    return x
+
+
+def seg_cumsum(x, span: int, *, exclusive: bool = False):
+    """Per-group inclusive (or exclusive) prefix sum over column-major order.
+
+    Two-level Hillis-Steele: sublane scan within columns, lane scan of
+    column totals within each ``span``-lane group, then combine.
+    """
+    s = x.shape[0]
+    si = sublane_iota(x.shape)
+    # sublane-dimension scan (within each lane column)
+    acc = x
+    step = 1
+    while step < s:
+        sh = pltpu.roll(acc, step, axis=0)
+        acc = acc + jnp.where(si >= step, sh, 0).astype(acc.dtype)
+        step <<= 1
+    # column totals, broadcast down the column
+    tot = jax.lax.broadcast_in_dim(acc[s - 1 : s, :], acc.shape, (0, 1))
+    # lane scan of column totals within the group (exclusive)
+    li = lane_iota(x.shape) % span
+    col = jnp.zeros_like(tot) + tot
+    prev = jnp.zeros_like(tot)
+    step = 1
+    while step < span:
+        sh = group_lane_roll(col, step, span)
+        add = jnp.where(li >= step, sh, 0).astype(col.dtype)
+        col = col + add
+        prev = prev + add
+        step <<= 1
+    out = acc + prev
+    if exclusive:
+        sh = flat_roll_static(out, 1, span)
+        out = jnp.where(flat_iota(x.shape) % (span * s) == 0, 0, sh).astype(x.dtype)
+    return out
+
+
+def seg_reduce(x, span: int, op: str):
+    """Per-group reduction over column-major groups of ``span`` lanes,
+    result broadcast to every slot of the group.  op in {sum,min,max,or}."""
+    fns = {
+        "sum": jnp.add,
+        "min": jnp.minimum,
+        "max": jnp.maximum,
+        "or": jnp.bitwise_or,
+    }
+    f = fns[op]
+    s = x.shape[0]
+    acc = x
+    step = 1
+    while step < s:  # sublane tree (circular roll is fine: full fold)
+        acc = f(acc, pltpu.roll(acc, step, axis=0))
+        step <<= 1
+    step = 1
+    while step < span:  # lane tree within group
+        acc = f(acc, group_lane_roll(acc, step, span))
+        step <<= 1
+    return acc
+
+
+def butterfly_left(payloads, dist, valid, span: int, nbits: int | None = None):
+    """Move element at flat position i to i - dist[i] (within its group).
+
+    Targets must be distinct with nondecreasing ``dist`` per group
+    (compaction / left-packing).  Bits processed low -> high.
+    Returns (payloads', valid').
+    """
+    total = span * payloads[0].shape[0]
+    nbits = nbits or _ilog2_ceil(total)
+    dist = dist.astype(jnp.int32)
+    for s in range(nbits):
+        step = 1 << s
+        move = valid & (((dist >> s) & 1) == 1)
+        incoming = flat_roll_static(move, -step, span)
+        payloads = [
+            jnp.where(incoming, flat_roll_static(p, -step, span), p) for p in payloads
+        ]
+        dist = jnp.where(incoming, flat_roll_static(dist, -step, span) - step, dist)
+        valid = incoming | (valid & ~move)
+    return payloads, valid
+
+
+def butterfly_right(payloads, dist, valid, span: int, nbits: int | None = None):
+    """Move element at flat position i to i + dist[i] (within its group).
+
+    Targets must be distinct with nondecreasing ``dist`` per group
+    (expansion / monotone placement).  Bits processed high -> low.
+    Returns (payloads', valid').
+    """
+    total = span * payloads[0].shape[0]
+    nbits = nbits or _ilog2_ceil(total)
+    dist = dist.astype(jnp.int32)
+    for s in reversed(range(nbits)):
+        step = 1 << s
+        move = valid & (((dist >> s) & 1) == 1)
+        incoming = flat_roll_static(move, step, span)
+        payloads = [
+            jnp.where(incoming, flat_roll_static(p, step, span), p) for p in payloads
+        ]
+        dist = jnp.where(incoming, flat_roll_static(dist, step, span) - step, dist)
+        valid = incoming | (valid & ~move)
+    return payloads, valid
+
+
+def ffill(vals, is_src, span: int):
+    """Forward fill within groups over column-major order: each slot takes
+    the value of the nearest source at or before it (log passes)."""
+    total = span * vals.shape[0]
+    fi = flat_iota(vals.shape) % total
+    step = 1
+    while step < total:
+        v_sh = flat_roll_static(vals, step, span)
+        f_sh = flat_roll_static(is_src, step, span)
+        take = ~is_src & f_sh & (fi >= step)
+        vals = jnp.where(take, v_sh, vals)
+        is_src = is_src | (f_sh & (fi >= step))
+        step <<= 1
+    return vals
+
+
+def pack_allpairs(e, bw, span: int, max_w: int = 32):
+    """Bit-pack each lane column (32 consecutive elements) into words.
+
+    ``e``: uint32 [SUB, L] FOR-subtracted values (invalid elements zero).
+    ``bw``: int32 [SUB, L] per-slot bit width (broadcast per ``span`` group).
+    Output word ``w`` of the group at column position [w, g]:
+        W[w, g] = OR_j  e[j, g] <<or>> (j*bw - 32w)
+    Words beyond ceil(32*bw/32)=bw per column are zero.  ``max_w`` caps the
+    emitted word rows (16 suffices for uint16 inputs).
+
+    Mirrors the reference's bit layout (src/CascadedKernels.hiph:483-553):
+    element i occupies bits [i*bw, (i+1)*bw) of a little-endian u32 stream.
+    """
+    s = e.shape[0]
+    j = sublane_iota(e.shape)
+    jb = j * bw  # start bit of element j within its group stream
+    out = jnp.zeros_like(e)
+    for w in range(max_w):
+        t = jb - 32 * w  # shift amount for element j's contribution to word w
+        left = jnp.where((t >= 0) & (t < 32), e << t.astype(jnp.uint32), 0)
+        tn = -t
+        right = jnp.where((tn > 0) & (tn < 32), e >> tn.astype(jnp.uint32), 0)
+        contrib = (left | right).astype(jnp.uint32)
+        word = seg_reduce(contrib, 1, "or")  # fold 32 sublanes of each column
+        out = jnp.where(sublane_iota(e.shape) == w, word, out)
+    return out
+
+
+def unpack_allpairs(words, bw, span: int, max_w: int = 32):
+    """Inverse of pack_allpairs: element j of each column reads its bw bits
+    from words w = floor(j*bw/32) and w+1.
+
+        elem[j, g] = OR_w  words[w, g] >>or<< (32w - j*bw)   masked to bw bits
+    """
+    j = sublane_iota(words.shape)
+    jb = j * bw
+    out = jnp.zeros_like(words)
+    for w in range(max_w):
+        # broadcast word row w down each column, then shift per output element
+        word = seg_reduce(
+            jnp.where(sublane_iota(words.shape) == w, words, 0).astype(jnp.uint32),
+            1,
+            "or",
+        )
+        t = 32 * w - jb  # left-shift amount of word w's contribution to element j
+        left = jnp.where((t > 0) & (t < 32), word << t.astype(jnp.uint32), 0)
+        tn = -t
+        right = jnp.where((tn >= 0) & (tn < 32), word >> tn.astype(jnp.uint32), 0)
+        out = out | (left | right).astype(jnp.uint32)
+    mask = jnp.where(
+        bw >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << jnp.minimum(bw, 31).astype(jnp.uint32)) - 1
+    )
+    return out & mask
+
+
+def select_word(x, pos):
+    """Extract the value at traced column-major flat position ``pos`` as a
+    broadcast [SUB, L] array (mask + full OR-reduce; no dynamic indexing)."""
+    hit = flat_iota(x.shape) == pos
+    masked = jnp.where(hit, x, 0).astype(x.dtype)
+    return seg_reduce(masked, x.shape[1], "or")
