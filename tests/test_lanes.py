@@ -244,6 +244,91 @@ def test_pack_unpack_allpairs(rng, bw):
         np.testing.assert_array_equal(np.asarray(unpacked), vals)
 
 
+@pytest.mark.parametrize("bw", [0, 1, 3, 7, 8, 13, 16, 29, 31, 32])
+@pytest.mark.parametrize("n", [32, 17, 1])
+def test_pack_unpack_columns(rng, bw, n):
+    """pack_columns/unpack_columns vs the same numpy oracle as allpairs,
+    plus partial-column counts (elements >= n zeroed)."""
+    n_cols = L
+    vals = rng.integers(0, 2**32, (SUB, n_cols)).astype(np.uint32)
+    if bw < 32:
+        vals = (vals & ((1 << bw) - 1)).astype(np.uint32)
+    vals[n:, :] = 0
+    bwt = np.full((SUB, n_cols), bw, np.int32)
+    nt = np.full((SUB, n_cols), n, np.int32)
+
+    packed = run_kernel(
+        lambda t, b, nn: lanes.pack_columns(
+            t, b.astype(jnp.int32), nn.astype(jnp.int32)
+        ),
+        jnp.asarray(vals),
+        jnp.asarray(bwt.astype(np.uint32)),
+        jnp.asarray(nt.astype(np.uint32)),
+    )
+    packed = np.asarray(packed)
+    nw = (n * bw + 31) >> 5
+    for g in range(min(n_cols, 8)):
+        expect = _np_pack(vals[:, g], bw)
+        expect[nw:] = 0
+        np.testing.assert_array_equal(packed[:, g], expect, err_msg=f"col {g} bw {bw} n {n}")
+
+    unpacked = run_kernel(
+        lambda t, b: lanes.unpack_columns(t, b.astype(jnp.int32)),
+        jnp.asarray(packed),
+        jnp.asarray(bwt.astype(np.uint32)),
+    )
+    if bw == 0:
+        np.testing.assert_array_equal(np.asarray(unpacked), 0)
+    else:
+        np.testing.assert_array_equal(np.asarray(unpacked)[:n], vals[:n])
+
+
+def test_butterfly_left_or_merges(rng):
+    """OR-merge compaction: many elements landing on the same monotone
+    target (the bit-pack word case: targets nondecreasing, dist
+    nondecreasing)."""
+    seg = SUB
+    x = rng.integers(0, 2**31, SUB * L).astype(np.uint32)
+    # per column: element j targets j // 3 (nondecreasing, duplicated)
+    j = np.arange(SUB)
+    tgt = j // 3
+    dist = np.tile(j - tgt, L).reshape(L, SUB).T.astype(np.int32)
+    valid = rng.random((SUB, L)) < 0.7
+
+    def f(t, dd, vv):
+        p, ok = lanes.butterfly_left_or(t, dd.astype(jnp.int32), vv != 0, 1, nbits=5)
+        return jnp.where(ok, p, 0).astype(jnp.uint32)
+
+    out = run_kernel(
+        f,
+        jnp.asarray(cm(x).T.reshape(SUB, L) if False else x.reshape(L, SUB).T.copy()),
+        jnp.asarray(dist.astype(np.uint32)),
+        jnp.asarray(valid.astype(np.uint32)),
+    )
+    out = np.asarray(out)
+    xs = x.reshape(L, SUB).T
+    for g in range(L):
+        expect = np.zeros(SUB, np.uint64)
+        for jj in range(SUB):
+            if valid[jj, g]:
+                expect[tgt[jj]] |= xs[jj, g]
+        np.testing.assert_array_equal(out[:, g], expect.astype(np.uint32), err_msg=f"col {g}")
+
+
+@pytest.mark.parametrize("nbits", [5, 8])
+def test_div_dyn(rng, nbits):
+    x = rng.integers(0, 2**nbits * 30, (SUB, L)).astype(np.int32)
+    d = rng.integers(1, 64, (SUB, L)).astype(np.int32)
+    x = np.minimum(x, d * ((1 << nbits) - 1)).astype(np.int32)
+
+    out = run_kernel(
+        lambda t, dd: lanes.div_dyn(t.astype(jnp.int32), dd.astype(jnp.int32), nbits).astype(jnp.uint32),
+        jnp.asarray(x.astype(np.uint32)),
+        jnp.asarray(d.astype(np.uint32)),
+    )
+    np.testing.assert_array_equal(np.asarray(out).astype(np.int64), x // d)
+
+
 def test_select_word(rng):
     x = rng.integers(0, 2**31, SUB * L).astype(np.uint32)
     pos = int(rng.integers(0, SUB * L))

@@ -60,6 +60,10 @@ def group_lane_roll(x, q: int, span: int):
     q = q % span
     if q == 0:
         return x
+    if x.dtype == jnp.bool_:
+        # Mosaic's tpu.rotate rejects i1 vectors (crashes the remote
+        # compiler); roll masks as int32.
+        return group_lane_roll(x.astype(jnp.int32), q, span) != 0
     if span == x.shape[1]:
         return pltpu.roll(x, q, axis=1)
     a = pltpu.roll(x, q, axis=1)
@@ -76,6 +80,8 @@ def flat_roll_static(x, d: int, span: int):
     d = d % total
     if d == 0:
         return x
+    if x.dtype == jnp.bool_:
+        return flat_roll_static(x.astype(jnp.int32), d, span) != 0
     r, q = d % s, d // s
     if r == 0:
         return group_lane_roll(x, q, span)
@@ -201,6 +207,120 @@ def butterfly_right(payloads, dist, valid, span: int, nbits: int | None = None):
         dist = jnp.where(incoming, flat_roll_static(dist, step, span) - step, dist)
         valid = incoming | (valid & ~move)
     return payloads, valid
+
+
+def butterfly_left_or(payload, dist, valid, span: int, nbits: int | None = None):
+    """butterfly_left variant that OR-merges collisions.
+
+    Requires ``dist`` nondecreasing per group AND targets (i - dist[i])
+    nondecreasing (duplicates allowed).  Under those conditions any two
+    elements colliding at an intermediate stage provably share the same
+    final target (their dists differ by the already-processed shift), so
+    OR-merging is exact.  Used for bit packing where several elements'
+    shifted contributions land in the same output word.
+
+    Returns (payload', valid').
+    """
+    total = span * payload.shape[0]
+    nbits = _ilog2_ceil(total) if nbits is None else nbits
+    dist = dist.astype(jnp.int32)
+    zero = jnp.zeros_like(payload)
+    for s in range(nbits):
+        step = 1 << s
+        move = valid & (((dist >> s) & 1) == 1)
+        inc = flat_roll_static(move, -step, span)
+        inc_p = flat_roll_static(jnp.where(move, payload, zero), -step, span)
+        inc_d = flat_roll_static(dist, -step, span) - step
+        stay = valid & ~move
+        payload = jnp.where(stay, payload, zero) | jnp.where(inc, inc_p, zero)
+        dist = jnp.where(inc, inc_d, jnp.where(stay, dist, 0))
+        valid = stay | inc
+    return payload, valid
+
+
+def pack_columns(e, bw, n):
+    """Bit-pack each lane column (32 consecutive elements) into words.
+
+    ``e``: uint32 [SUB, L] FOR-subtracted values; ``bw``: int32 bit width
+    (broadcast per column); ``n``: int32 valid-element count (broadcast per
+    column) -- elements j >= n must already be zero.
+
+    Word w of a column holds bits [32w, 32w+32) of the column's bit stream
+    (element j at bits [j*bw, (j+1)*bw), little-endian), matching the
+    reference layout (src/CascadedKernels.hiph:483-553).  Rows w >= bw are
+    zero.  ~8x cheaper than pack_allpairs: two 5-pass sublane
+    butterfly-OR compactions instead of a 32-term fold.
+    """
+    j = sublane_iota(e.shape)
+    bw = bw.astype(jnp.int32)
+    bit0 = j * bw
+    t = bit0 >> 5  # target word row of the low part
+    off = bit0 & 31
+    u32 = e.astype(jnp.uint32)
+    lo = jnp.where(off < 32, u32 << off.astype(jnp.uint32), 0)
+    # high part spills into word t+1 only when off + bw > 32 (off > 0 there)
+    sh = (32 - off).astype(jnp.uint32)
+    hi = jnp.where(off > 0, u32 >> sh, 0)
+    valid = j < n
+    wlo, oklo = butterfly_left_or(lo, j - t, valid, 1, nbits=5)
+    whi, okhi = butterfly_left_or(hi, j - t - 1, valid & (off + bw > 32) & (j >= 1), 1, nbits=5)
+    out = jnp.where(oklo, wlo, 0) | jnp.where(okhi, whi, 0)
+    # zero rows at/after the data word count (ceil(n*bw/32))
+    nw = (n * bw + 31) >> 5
+    return jnp.where(j < nw, out, 0)
+
+
+def unpack_columns(words, bw, nmax: int | None = None):
+    """Inverse of pack_columns: element j of each column reads its ``bw``
+    bits from words (j*bw)>>5 and +1.
+
+    ``words``: uint32 [SUB, L]; ``bw`` broadcast per column.  Returns the
+    FOR-relative element values (all 32 rows; caller masks by n).
+
+    Places each word at the first element that reads it as its low word
+    (distinct monotone targets), forward-fills down the column, and pairs
+    it with the next word (pre-rolled) filled along the same route.
+    """
+    j = sublane_iota(words.shape)
+    bw = bw.astype(jnp.int32)
+    bit0 = j * bw
+    w_lo = bit0 >> 5  # word row needed by element j (<= j)
+    off = bit0 & 31
+    nxt = pltpu.roll(words, words.shape[0] - 1, axis=0)  # row w holds word w+1
+    # word row w first serves element ceil(32w / bw); bw == 0 -> no data
+    bwc = jnp.maximum(bw, 1)
+    first_elem = (j * 32 + bwc - 1) // bwc
+    # elements move right from word-row position to first-reader position
+    valid = (first_elem < words.shape[0]) & (j * 32 < 32 * bwc)  # row < bw
+    (v_lo, v_hi), ok = butterfly_right(
+        [words, nxt], jnp.where(valid, first_elem - j, 0), valid, 1, nbits=5
+    )
+    v_lo = jnp.where(ok, v_lo, 0)
+    v_hi = jnp.where(ok, v_hi, 0)
+    v_lo = ffill(v_lo, ok, 1)
+    v_hi = ffill(v_hi, ok, 1)
+    lo = jnp.where(off < 32, v_lo >> off.astype(jnp.uint32), 0)
+    sh = (32 - off).astype(jnp.uint32)
+    hi = jnp.where(off > 0, v_hi << sh, 0)
+    mask = jnp.where(
+        bw >= 32,
+        jnp.uint32(0xFFFFFFFF),
+        (jnp.uint32(1) << jnp.minimum(bw, 31).astype(jnp.uint32)) - 1,
+    )
+    return (lo | hi) & mask
+
+
+def div_dyn(x, d, nbits: int):
+    """Elementwise floor(x / d) for traced positive ``d`` via binary search
+    over the quotient (Mosaic has no integer divide).  Quotient must fit in
+    ``nbits`` bits; x >= 0."""
+    x = x.astype(jnp.int32)
+    d = d.astype(jnp.int32)
+    q = jnp.zeros_like(x)
+    for s in reversed(range(nbits)):
+        cand = q | (1 << s)
+        q = jnp.where(cand * d <= x, cand, q)
+    return q
 
 
 def ffill(vals, is_src, span: int):
