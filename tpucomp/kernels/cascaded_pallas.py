@@ -1,0 +1,1107 @@
+"""Fused cascaded compression as a single Pallas TPU kernel.
+
+TPU-native counterpart of the reference's fused compression kernel
+(do_cascaded_compression_kernel, reference src/CascadedKernels.hiph:766-1058):
+one grid cell per partition, the whole RLE/Delta/BitPack pipeline VMEM-resident,
+emitting the exact partition byte format of the XLA path (codecs/cascaded.py),
+byte for byte.
+
+Where the reference maps one threadblock to a partition and loops over 4KB
+chunks in shared memory, this kernel processes *all* chunks of a partition
+simultaneously: the partition's elements live in a column-major [32, L] tile
+(element i at [i % 32, i // 32], chunk g owning lanes [g*EC, (g+1)*EC)) and
+every chunk is one ``span``-lane group, so each pipeline stage is a handful
+of full-tile vector ops + log-many roll/select passes
+(tpucomp/kernels/lanes.py) instead of a per-chunk loop.  Data-dependent
+placement (run compaction, bit packing, gapless chunk assembly) uses
+butterfly permutation networks — the monotone-target counterpart of the
+reference's BlockScan + cooperative writes.
+
+Stream assembly insight: for element widths <= 4 every section of the
+partition format is exactly word-dense (all offsets 4-byte aligned, sizes
+round to whole words), so each emitted word gets its final
+partition-relative u32 word target from pure cumsum math and ONE global
+monotone butterfly packs the entire partition gaplessly.
+
+Supported configs (others use the XLA path): element width 1/2/4 and
+chunk elements % 128 == 0.  Output is bit-identical to codecs/cascaded.py
+(asserted by tests/test_cascaded_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpucomp.core.sizing import round_up_to
+from tpucomp.core.types import width_of
+from tpucomp.kernels import lanes
+
+SUB = lanes.SUB  # 32 sublanes; one lane column == 32 consecutive elements
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _gcd(a: int, b: int) -> int:
+    while b:
+        a, b = b, a % b
+    return a
+
+
+def _rup(x, m: int):
+    return (x + (m - 1)) // m * m
+
+
+def supports(opts, capacity: int) -> bool:
+    """Static gate for the Pallas compress path."""
+    w = width_of(opts.type)
+    if w not in (1, 2, 4):
+        return False
+    if opts.chunk_size % w:
+        return False
+    e = opts.chunk_size // w
+    if e % 128:
+        return False
+    if opts.num_rles > 8 or opts.num_deltas > 8:
+        return False
+    return capacity >= 1
+
+
+class _Layout:
+    """All static sizes for one (opts, capacity) pair."""
+
+    def __init__(self, opts, capacity: int):
+        from tpucomp.codecs import cascaded as cx
+
+        self.w = w = width_of(opts.type)
+        self.e = e = opts.chunk_size // w
+        self.ec = e // SUB  # element columns per chunk
+        self.k = _cdiv(capacity, opts.chunk_size)
+        self.capacity = capacity
+        self.chunk_size = opts.chunk_size
+        self.nr = opts.num_rles
+        self.nd = opts.num_deltas
+        self.bp = bool(opts.use_bp)
+        self.dtype_code = int(opts.type)
+        self.meta_size = cx.chunk_metadata_size(opts)  # bytes, multiple of 4
+        self.mw = self.meta_size // 4
+        assert self.mw <= SUB, "chunk metadata must fit one column"
+        # counts blob data words (u16 counts <= e, so FOR width <= bit_width(e-1))
+        bwc_max = max(1, (e - 1).bit_length())
+        cd_w = _cdiv(e * bwc_max, 32) if self.bp else _cdiv(e * 2, 4)
+        self.cd_cols = _cdiv(cd_w, SUB)
+        # final blob data words: bitpacked <= 8w bits/elem == raw width
+        self.fd_cols = _cdiv(_cdiv(e * w, 4), SUB)
+        # per-chunk source columns for the global assembly butterfly:
+        # [meta][hdr?, counts data] x nr [hdr?][final data][spare]
+        hdr = 1 if self.bp else 0
+        self.sc = 1 + self.nr * (hdr + self.cd_cols) + hdr + self.fd_cols + 1
+        self.pmax = cx.partition_output_max(capacity, opts)
+        # element tile lanes: chunks padded so lanes are a 128 multiple
+        self.k_pad = _rup(self.k, 128 // _gcd(self.ec, 128))
+        self.l_elem = self.k_pad * self.ec
+        self.l_words = _rup(self.l_elem * w // 4, 128)
+        # assembly source tile lanes: one leading column (so the first
+        # chunk's sources sit at/after their post-header targets), then the
+        # per-chunk slots; must also cover the output words
+        self.l_asm = _rup(max(1 + self.k * self.sc, _cdiv(self.pmax, 128) + 1), 128)
+        self.nbits_asm = max(1, ((1 + self.k * self.sc) * SUB - 1).bit_length())
+        # output tile: pmax words + a trailing size column
+        self.l_out = _rup(_cdiv(self.pmax, 128) + 1, 128)
+
+
+# ---------------------------------------------------------------------------
+# tile-level pipeline stages (all shapes [SUB, L], column-major groups)
+
+
+def _bcast_first(x, span: int):
+    """Broadcast the first element of every group to the whole group."""
+    fi = lanes.flat_iota(x.shape) % (span * SUB)
+    return lanes.seg_reduce(jnp.where(fi == 0, x, 0), span, "or")
+
+
+def _rle_tile(x, n, span: int):
+    """Per-group RLE of the valid prefix.  ``x``: i32 elements compacted to
+    the group front (invalid slots zero); ``n``: per-group broadcast count.
+    Returns (vals, counts i32, nruns), vals/counts compacted to the group
+    front, zero elsewhere.  Matches ops/rle.py rle_encode (reference
+    src/CascadedKernels.hiph:129-241)."""
+    fi = lanes.flat_iota(x.shape) % (span * SUB)
+    prev = lanes.flat_roll_static(x, 1, span)
+    is_start = (fi < n) & ((fi == 0) | (x != prev))
+    rank = lanes.seg_cumsum(is_start.astype(jnp.int32), span, exclusive=True)
+    nruns = lanes.seg_reduce(is_start.astype(jnp.int32), span, "sum")
+    (vals, starts), ok = lanes.butterfly_left(
+        [x, fi], jnp.where(is_start, fi - rank, 0), is_start, span
+    )
+    vals = jnp.where(ok, vals, 0)
+    starts = jnp.where(ok, starts, 0)
+    nxt_start = lanes.flat_roll_static(starts, span * SUB - 1, span)
+    counts = jnp.where(fi == nruns - 1, n - starts, nxt_start - starts)
+    counts = jnp.where(fi < nruns, counts, 0)
+    return vals, counts, nruns
+
+
+def _sext(v, bits_: int):
+    m = jnp.int32(1 << (bits_ - 1))
+    return ((v & jnp.int32((1 << bits_) - 1)) ^ m) - m
+
+
+def _delta_tile(x, n, span: int, ebits: int):
+    """Per-group adjacent difference; wraps at the element width and
+    re-sign-extends so later signed min/max see element-width semantics.
+    Returns (d, first, n_out).  Matches ops/delta.py delta_encode."""
+    fi = lanes.flat_iota(x.shape) % (span * SUB)
+    nxt = lanes.flat_roll_static(x, span * SUB - 1, span)
+    d = nxt - x
+    if ebits < 32:
+        d = _sext(d, ebits)
+    d = jnp.where(fi < n - 1, d, 0)
+    first = _bcast_first(jnp.where(n > 0, x, 0), span)
+    return d, first, jnp.maximum(n - 1, 0)
+
+
+def _bit_width_tile(r):
+    """bit_width of unsigned ``r``: binary reduction (no clz dependency)."""
+    bw = jnp.zeros(r.shape, jnp.int32)
+    shift = 16
+    while shift:
+        big = r >= (jnp.uint32(1) << jnp.uint32(shift))
+        bw = bw + jnp.where(big, shift, 0)
+        r = jnp.where(big, r >> jnp.uint32(shift), r)
+        shift //= 2
+    return bw + jnp.where(r > 0, 1, 0)
+
+
+def _for_bw_tile(x, n, span: int):
+    """Per-group frame-of-reference minimum and bit width over the valid
+    prefix.  ``x`` holds sign-extended i32 values, so i32 min/max equals the
+    element-width signed compare and the range wraps in 32-bit math exactly
+    as the reference (src/CascadedKernels.hiph:395-471)."""
+    fi = lanes.flat_iota(x.shape) % (span * SUB)
+    valid = fi < n
+    mn = lanes.seg_reduce(jnp.where(valid, x, jnp.int32(2**31 - 1)), span, "min")
+    mx = lanes.seg_reduce(jnp.where(valid, x, jnp.int32(-(2**31))), span, "max")
+    bw = _bit_width_tile((mx - mn).astype(jnp.uint32))
+    frame = jnp.where(n > 0, mn, 0)
+    bw = jnp.where(n > 0, bw, 0)
+    return frame, bw
+
+
+def _pack_data_tile(vals, frame, bw, n, span: int, ebits: int):
+    """FOR-subtract + bit-pack the valid group prefix at traced per-group
+    width ``bw``; packed words compacted to the group front.  Returns
+    (words u32, data_words).  Layout per ops/bitpack.py (reference
+    src/CascadedKernels.hiph:483-553)."""
+    shape = vals.shape
+    fi = lanes.flat_iota(shape) % (span * SUB)
+    u = (vals - frame).astype(jnp.uint32)
+    if ebits < 32:
+        u = u & jnp.uint32((1 << ebits) - 1)
+    u = jnp.where(fi < n, u, 0)
+    li = lanes.lane_iota(shape) % span
+    j = lanes.sublane_iota(shape)
+    ncol = jnp.clip(n - li * SUB, 0, SUB)
+    words = lanes.pack_columns(u, bw, ncol)
+    # column c's words sit at rows [0, nw); word (j, c) targets flat c*bw + j
+    nw = (ncol * bw + 31) >> 5
+    wvalid = j < nw
+    dist = jnp.where(wvalid, li * (SUB - bw), 0)
+    (wrd,), ok = lanes.butterfly_left([words.astype(jnp.int32)], dist, wvalid, span)
+    data_words = (n * bw + 31) >> 5
+    return jnp.where(ok, wrd, 0).astype(jnp.uint32), data_words
+
+
+def _pair_raw_tile(vals, n, span: int, width: int):
+    """Raw (no-bitpack) blob: little-endian element stream as u32 words
+    compacted to the group front.  Returns (words u32, nwords)."""
+    shape = vals.shape
+    fi = lanes.flat_iota(shape) % (span * SUB)
+    mask = jnp.uint32((1 << (8 * width)) - 1) if width < 4 else jnp.uint32(0xFFFFFFFF)
+    v = vals.astype(jnp.uint32) & mask
+    v = jnp.where(fi < n, v, 0)
+    per = 4 // width
+    if per > 1:
+        word = v
+        for t in range(1, per):
+            nb = lanes.flat_roll_static(v, (span * SUB - t) % (span * SUB), span)
+            word = word | jnp.where(fi + t < n, nb, 0) << jnp.uint32(8 * width * t)
+        sel = (fi % per == 0) & (fi < n)
+        dist = jnp.where(sel, fi - fi // per, 0)
+        (wrd,), ok = lanes.butterfly_left([word.astype(jnp.int32)], dist, sel, span)
+        words = jnp.where(ok, wrd, 0).astype(jnp.uint32)
+    else:
+        words = v
+    return words, (n * width + 3) >> 2
+
+
+def _group_excl_scan(totals, span: int, n_groups: int):
+    """Exclusive cumsum of per-group broadcast scalars across groups
+    (lane-axis rolls by whole groups)."""
+    L = totals.shape[1]
+    gi = lanes.lane_iota(totals.shape) // span
+    acc = totals
+    pre = jnp.zeros_like(totals)
+    step = 1
+    while step < n_groups:
+        sh = lanes.group_lane_roll(acc, (step * span) % L, L)
+        add = jnp.where(gi >= step, sh, 0)
+        acc = acc + add
+        pre = pre + add
+        step <<= 1
+    return pre
+
+
+def _schedule_static(nr: int, nd: int):
+    """Compression op order (reference src/CascadedKernels.hiph:910-980)."""
+    ops = []
+    rle_rem, delta_rem = nr, nd
+    for _ in range(max(nr, nd)):
+        if rle_rem > 0:
+            ops.append(("rle", nr - rle_rem))
+            rle_rem -= 1
+        if delta_rem > 0:
+            ops.append(("delta", nd - delta_rem))
+            delta_rem -= 1
+    return ops
+
+
+# ---------------------------------------------------------------------------
+# the compress kernel
+
+
+def _encode_kernel(lay: _Layout, len_ref, *refs):
+    if lay.w == 4:
+        elems_ref, out_ref = refs
+        words_view = None
+    else:
+        elems_ref, words_ref, out_ref = refs
+        words_view = words_ref[0].astype(jnp.int32)
+
+    span = lay.ec
+    e, w, ebits = lay.e, lay.w, 8 * lay.w
+    nr, nd, bp = lay.nr, lay.nd, lay.bp
+
+    x = elems_ref[0].astype(jnp.int32)
+    shape = x.shape
+    fi = lanes.flat_iota(shape) % (span * SUB)
+    gi = lanes.lane_iota(shape) // span  # chunk index
+
+    length = len_ref[pl.program_id(0)]
+    n_elems = length // w
+    input_bytes = n_elems * w
+    chunk_n = jnp.clip(n_elems - gi * e, 0, e)
+    x = jnp.where(fi < chunk_n, x, 0)
+    valid_chunk = chunk_n > 0
+
+    if lay.w == 4:
+        words_view = x
+
+    # ---- pipeline: static schedule, all chunks at once -------------------
+    cur_x, cur_n = x, chunk_n
+    counts_list = []
+    firsts = []
+    for kind, _ in _schedule_static(nr, nd):
+        if kind == "rle":
+            vals, counts, nruns = _rle_tile(cur_x, cur_n, span)
+            counts_list.append((counts, nruns))
+            cur_x, cur_n = vals, nruns
+        else:
+            d, first, n_out = _delta_tile(cur_x, cur_n, span, ebits)
+            firsts.append(first)
+            cur_x, cur_n = d, n_out
+
+    # ---- blob emission ---------------------------------------------------
+    blob_words, blob_sizes, blob_hdr = [], [], []
+    for counts, nruns in counts_list:
+        if bp:
+            frame, bw = _for_bw_tile(counts, nruns, span)
+            wds, dw = _pack_data_tile(counts, frame, bw, nruns, span, 16)
+            blob_sizes.append(8 + 4 * dw)
+            blob_hdr.append(
+                (
+                    frame.astype(jnp.int32) & jnp.int32(0xFFFF),
+                    ((bw << 16) | nruns).astype(jnp.int32),
+                )
+            )
+        else:
+            wds, _nw = _pair_raw_tile(counts, nruns, span, 2)
+            blob_sizes.append(nruns * 2)
+            blob_hdr.append(None)
+        blob_words.append(wds)
+    if bp:
+        frame, bw = _for_bw_tile(cur_x, cur_n, span)
+        fwds, fdw = _pack_data_tile(cur_x, frame, bw, cur_n, span, ebits)
+        fsize = 8 + 4 * fdw
+        fmask = jnp.int32((1 << ebits) - 1) if ebits < 32 else jnp.int32(-1)
+        fhdr = (frame.astype(jnp.int32) & fmask, ((bw << 16) | cur_n).astype(jnp.int32))
+    else:
+        fwds, _nw = _pair_raw_tile(cur_x, cur_n, span, w)
+        fsize = cur_n * w
+        fhdr = None
+
+    # ---- chunk layout (byte offsets, mirroring codecs/cascaded.py) -------
+    pos = jnp.full(shape, lay.meta_size, jnp.int32)
+    counts_pos = []
+    blob_end_max = jnp.zeros(shape, jnp.int32)
+    for size in blob_sizes:
+        counts_pos.append(pos)
+        end = pos + _rup(size, 4)
+        blob_end_max = jnp.maximum(blob_end_max, end)
+        pos = end
+    fpos = _rup(pos, w)
+    blob_end_max = jnp.maximum(blob_end_max, fpos + _rup(fsize, 4))
+    total = _rup(fpos + _rup(fsize, 4), w)
+    total = jnp.where(valid_chunk, total, 0)
+
+    pre = _group_excl_scan(total, span, lay.k_pad)
+    chunk_off = 8 + pre
+    total_size = 8 + lanes.seg_reduce(pre + total, shape[1], "max")
+
+    # fallback check (reference :862-870)
+    limit = 8 + _rup(input_bytes, 4)
+    oob = valid_chunk & (chunk_off + blob_end_max > limit)
+    use_fallback = lanes.seg_reduce(oob.astype(jnp.int32), shape[1], "max") > 0
+    if nr == 0 and nd == 0 and not bp:
+        use_fallback = use_fallback | True
+
+    # ---- global assembly: (payload, target, valid) per source word -------
+    # chunk metadata words live in column 0 of each group (mw <= 32 rows)
+    meta_v = jnp.where(fi == 0, total, 0)
+    for i, s in enumerate(blob_sizes):
+        meta_v = meta_v + jnp.where(fi == 1 + i, s, 0)
+    meta_v = meta_v + jnp.where(fi == 1 + nr, fsize, 0)
+    if nd:
+        dh_off = round_up_to(4 + 4 * (nr + 1), w)
+        per = 4 // w
+        emask = jnp.int32((1 << ebits) - 1) if ebits < 32 else jnp.int32(-1)
+        for i, f in enumerate(firsts):
+            word_idx = dh_off // 4 + i // per
+            fv = (f & emask).astype(jnp.uint32) << jnp.uint32(8 * w * (i % per))
+            meta_v = meta_v + jnp.where(fi == word_idx, fv.astype(jnp.int32), 0)
+    meta_t = chunk_off // 4 + fi
+    meta_ok = (fi < lay.mw) & valid_chunk
+
+    def hdr_tiles(pair, base_words):
+        hv = jnp.where(fi == 0, pair[0], jnp.where(fi == 1, pair[1], 0))
+        return hv, base_words + fi, (fi < 2) & valid_chunk
+
+    sections = []  # (payload, tgt, ok, cols) in per-chunk target order
+    sections.append((meta_v, meta_t, meta_ok, 1))
+    for i in range(nr):
+        base = chunk_off // 4 + counts_pos[i] // 4
+        if bp:
+            hv, ht, hok = hdr_tiles(blob_hdr[i], base)
+            sections.append((hv, ht, hok, 1))
+            dw = (blob_sizes[i] - 8) // 4
+            dbase = base + 2
+        else:
+            dw = (blob_sizes[i] + 3) // 4
+            dbase = base
+        pv = blob_words[i].astype(jnp.int32)
+        sections.append((pv, dbase + fi, (fi < dw) & valid_chunk, lay.cd_cols))
+    fbase = chunk_off // 4 + fpos // 4
+    if bp:
+        hv, ht, hok = hdr_tiles(fhdr, fbase)
+        sections.append((hv, ht, hok, 1))
+        fdw = (fsize - 8) // 4
+        fdbase = fbase + 2
+    else:
+        fdw = (fsize + 3) // 4
+        fdbase = fbase
+    sections.append((fwds.astype(jnp.int32), fdbase + fi, (fi < fdw) & valid_chunk, lay.fd_cols))
+
+    # masks travel as int32 through the concat: Mosaic cannot concatenate
+    # i1 vregs (tpu.bitcast_vreg i1->i32 is rejected on hardware)
+    pay_parts, tgt_parts, ok_parts = [], [], []
+    zc = jnp.zeros((SUB, 1), jnp.int32)
+    pay_parts.append(zc)  # leading spare column: keeps dist >= 0 for chunk 0
+    tgt_parts.append(zc)
+    ok_parts.append(zc)
+    for g in range(lay.k):
+        for pv, pt, pok, cols in sections:
+            sl = slice(g * span, g * span + cols)
+            pay_parts.append(pv[:, sl])
+            tgt_parts.append(pt[:, sl])
+            ok_parts.append(pok[:, sl].astype(jnp.int32))
+        pay_parts.append(zc)  # spare alignment column
+        tgt_parts.append(zc)
+        ok_parts.append(zc)
+    pad_cols = lay.l_asm - 1 - lay.k * lay.sc
+    if pad_cols:
+        z = jnp.zeros((SUB, pad_cols), jnp.int32)
+        pay_parts.append(z)
+        tgt_parts.append(z)
+        ok_parts.append(z)
+    pay = jnp.concatenate(pay_parts, axis=1)
+    tgt = jnp.concatenate(tgt_parts, axis=1)
+    okv = jnp.concatenate(ok_parts, axis=1) > 0
+
+    afi = lanes.flat_iota(pay.shape)
+    dist = jnp.where(okv, afi - tgt, 0)
+    (packed,), okp = lanes.butterfly_left(
+        [pay], dist, okv, pay.shape[1], nbits=lay.nbits_asm
+    )
+    packed = jnp.where(okp, packed, 0)
+
+    # ---- fallback raw body + header + final select -----------------------
+    out_l = lay.l_out
+    oshape = (SUB, out_l)
+    ofi = lanes.flat_iota(oshape)
+    iw = words_view[:, : min(words_view.shape[1], out_l)]
+    if out_l > iw.shape[1]:
+        iw = jnp.concatenate([iw, jnp.zeros((SUB, out_l - iw.shape[1]), jnp.int32)], axis=1)
+    raw = lanes.flat_roll_static(iw, 2, out_l)
+    ub_o = _bcast_all(input_bytes, oshape)
+    fb_o = _bcast_all(use_fallback.astype(jnp.int32), oshape) > 0
+    wbytes = jnp.clip(ub_o - (ofi - 2) * 4, 0, 4)
+    bmask = jnp.where(wbytes >= 4, jnp.int32(-1), (jnp.int32(1) << (8 * wbytes)) - 1)
+    raw = jnp.where((ofi >= 2) & (wbytes > 0), raw & bmask, 0)
+
+    body = jnp.where(fb_o, raw, packed[:, :out_l])
+    hdr0 = jnp.where(
+        fb_o,
+        jnp.int32(lay.dtype_code << 24),
+        jnp.int32(nr | (nd << 8) | (int(bp) << 16) | (lay.dtype_code << 24)),
+    )
+    body = jnp.where(ofi == 0, hdr0, jnp.where(ofi == 1, ub_o, body))
+
+    size = jnp.where(use_fallback, 8 + _rup(input_bytes, 4), total_size)
+    size = jnp.where(length > 0, size, 0)
+    size_o = _bcast_all(size, oshape)
+    body = jnp.where(_bcast_all(jnp.where(length > 0, 1, 0), oshape) > 0, body, 0)
+    li_o = lanes.lane_iota(oshape)
+    si_o = lanes.sublane_iota(oshape)
+    body = jnp.where((li_o == out_l - 1) & (si_o == 0), size_o, body)
+    out_ref[0] = body.astype(jnp.uint32)
+
+
+def _bcast_all(tile_val, target_shape):
+    """Broadcast a whole-tile-uniform value (or a tile whose [0-slot] value is
+    wanted) to ``target_shape``.  tile_val may be any [SUB, L] tile with the
+    value uniform across slots, or a scalar."""
+    if not hasattr(tile_val, "shape") or tile_val.shape == ():
+        return jnp.full(target_shape, tile_val, jnp.int32)
+    # uniform tile: reduce a 1-column slice and broadcast
+    col = jnp.max(tile_val[:, :1], axis=0, keepdims=True)  # [1, 1]
+    return jax.lax.broadcast_in_dim(col, target_shape, (0, 1))
+
+
+# ---------------------------------------------------------------------------
+# XLA-side wrapper
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "interpret"))
+def compress(data, lengths, opts, interpret: bool = False):
+    """Batched fused cascaded compression on the Pallas path.
+
+    data: uint8[B, C]; lengths: int32[B].  Returns (comp uint8[B, PMAX],
+    comp_sizes int32[B]), bit-identical to codecs/cascaded.py compress.
+    """
+    from tpucomp.utils import bits
+
+    b, c = data.shape
+    lay = _Layout(opts, c)
+    w = lay.w
+
+    total_bytes = lay.k_pad * lay.chunk_size
+    if total_bytes > c:
+        data = jnp.concatenate(
+            [data, jnp.zeros((b, total_bytes - c), jnp.uint8)], axis=1
+        )
+    # sign-extended i32 elements, column-major [B, SUB, l_elem]
+    units = bits.bytes_to_units_le(data, w)
+    sdtype = bits.signed_of_width(w)
+    elems = bits.bitcast(units, sdtype).astype(jnp.int32)
+    elems_cm = elems.reshape(b, lay.l_elem, SUB).transpose(0, 2, 1)
+
+    ins = [lengths.astype(jnp.int32), elems_cm]
+    in_specs = [
+        pl.BlockSpec((1, SUB, lay.l_elem), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM)
+    ]
+    if w != 4:
+        words = bits.bytes_to_units_le(data, 4).astype(jnp.uint32)
+        nw = words.shape[1]
+        lw = lay.l_words
+        if nw < lw * SUB:
+            words = jnp.concatenate(
+                [words, jnp.zeros((b, lw * SUB - nw), jnp.uint32)], axis=1
+            )
+        words_cm = words.reshape(b, lw, SUB).transpose(0, 2, 1)
+        ins.append(words_cm)
+        in_specs.append(
+            pl.BlockSpec((1, SUB, lw), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, SUB, lay.l_out), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_encode_kernel, lay),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, SUB, lay.l_out), jnp.uint32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(*ins)
+
+    sizes = out[:, 0, lay.l_out - 1].astype(jnp.int32)
+    flat_words = out.transpose(0, 2, 1).reshape(b, lay.l_out * SUB)
+    comp = bits.units_to_bytes_le(flat_words)[:, : lay.pmax]
+    return comp, sizes
+
+
+# ===========================================================================
+# decompression
+
+
+class _DLayout:
+    """Static sizes for the decode kernel (opts, in_capacity, out_capacity)."""
+
+    def __init__(self, opts, in_capacity: int, out_capacity: int):
+        from tpucomp.codecs import cascaded as cx
+
+        self.w = w = width_of(opts.type)
+        self.e = e = opts.chunk_size // w
+        self.ec = e // SUB
+        self.k = max(1, _cdiv(out_capacity, opts.chunk_size))
+        self.nr = opts.num_rles
+        self.nd = opts.num_deltas
+        self.bp = bool(opts.use_bp)
+        self.dtype_code = int(opts.type)
+        self.in_capacity = in_capacity
+        self.out_capacity = out_capacity
+        self.meta_size = cx.chunk_metadata_size(opts)
+        self.mw = self.meta_size // 4
+        # phase-A chunk slot: covers the largest legal chunk stream
+        self.dc = _cdiv(cx.chunk_output_max(opts) // 4, SUB) + 1
+        # walk clamp matches the XLA path (codecs/cascaded.py _walk_chunks);
+        # corrupt chunks larger than the slot get truncated word reads (zeros),
+        # which the in-bounds/total checks then reject
+        self.walk_clamp = in_capacity + 8
+        # per-blob slots cover every bit the reader can touch:
+        # counts: e elements x bw<=16 bits; final: e x 8w bits (== raw size)
+        self.cd_cols = _cdiv(_cdiv(e * 16, 32), SUB)
+        self.fd_cols = _cdiv(_cdiv(e * w, 4), SUB)
+        self.sc2 = max(1 + self.nr * (1 + self.cd_cols) + 1 + self.fd_cols, self.dc)
+        self.l_inw = _rup(_cdiv(_cdiv(in_capacity, 4), SUB), 128)
+        self.l_a = _rup(max(1 + self.k * self.dc, self.l_inw), 128)
+        self.nbits_a = max(1, ((1 + self.k * self.dc) * SUB - 1).bit_length())
+        self.l_c = _rup(max(1 + self.k * self.sc2, self.l_a), 128)
+        self.nbits_c = max(1, ((1 + self.k * self.sc2) * SUB - 1).bit_length())
+        # pipeline element span per chunk: one dead leading column + elements
+        self.ep = self.ec + 1
+        self.nbits_f = max(1, (self.k * self.ep * SUB - 1).bit_length())
+        self.cap_elems = out_capacity // w
+        self.l_out = _rup(self.k * self.ep, 128)  # >= cap_elems/32, reused as F tile
+
+
+def _embed_cols(t, cols: int):
+    """Zero-pad a [SUB, L] tile to ``cols`` lanes."""
+    if t.shape[1] >= cols:
+        return t[:, :cols]
+    return jnp.concatenate(
+        [t, jnp.zeros((SUB, cols - t.shape[1]), t.dtype)], axis=1
+    )
+
+
+def _delta_decode_tile(d, first, n, span: int, ebits: int):
+    """Inverse delta per group: exclusive prefix + first.  Matches
+    ops/delta.py delta_decode."""
+    fi = lanes.flat_iota(d.shape) % (span * SUB)
+    masked = jnp.where(fi < n, d, 0)
+    inc = lanes.seg_cumsum(masked, span)
+    exc = jnp.where(fi == 0, 0, lanes.flat_roll_static(inc, 1, span))
+    out = exc + first
+    if ebits < 32:
+        out = _sext(out, ebits)
+    out = jnp.where(fi <= n, out, 0)
+    return out, n + 1
+
+
+def _rle_decode_tile(vals, counts, num_runs, span: int):
+    """Inverse RLE per group: expand runs.  Matches ops/rle.py rle_decode
+    (zero-count runs write nothing, as the reference)."""
+    fi = lanes.flat_iota(vals.shape) % (span * SUB)
+    c = jnp.where(fi < num_runs, counts, 0)
+    inc = lanes.seg_cumsum(c, span)
+    total = lanes.seg_reduce(inc, span, "max")
+    starts = inc - c
+    nz = (fi < num_runs) & (c > 0)
+    rank = lanes.seg_cumsum(nz.astype(jnp.int32), span, exclusive=True)
+    (v2, s2), ok = lanes.butterfly_left(
+        [vals, starts], jnp.where(nz, fi - rank, 0), nz, span
+    )
+    # clamp corrupt run starts to the group so expansion cannot contaminate
+    # neighbouring chunks (the XLA path's per-chunk vmap isolates them; any
+    # clamp collision only garbles this group, and the partition-level count
+    # checks already reject such streams)
+    s2 = jnp.minimum(s2, span * SUB - 1)
+    (v3,), ok3 = lanes.butterfly_right(
+        [v2], jnp.where(ok, s2 - fi, 0), ok, span
+    )
+    x = lanes.ffill(v3, ok3, span)
+    x = jnp.where(fi < total, x, 0)
+    return x, total
+
+
+def _unpack_blob_tile(blob, span: int, tbits: int, use_bp: bool, size, e: int):
+    """Decode one blob per group.  ``blob``: [SUB, K*span] tile; each group
+    holds the blob's stream words at flat [0, ...) (hdr words 0,1 for bp).
+    Returns (elems i32 at group flat [32, 32+e), n).  Matches
+    codecs/cascaded.py _read_blob_elems: exactly the words covering the
+    first ``e`` elements are read; element values beyond n are masked."""
+    shape = blob.shape
+    fi = lanes.flat_iota(shape) % (span * SUB)
+    mask32 = jnp.int32((1 << tbits) - 1) if tbits < 32 else jnp.int32(-1)
+    if use_bp:
+        hw0 = lanes.seg_reduce(jnp.where(fi == 0, blob, 0), span, "or")
+        hw1 = lanes.seg_reduce(jnp.where(fi == 1, blob, 0), span, "or")
+        frame = hw0 & mask32
+        n = hw1 & jnp.int32(0xFFFF)
+        bw = jnp.minimum((hw1 >> 16) & jnp.int32(0xFFFF), tbits)
+        # spread data words (stream word j at flat 2+j) to column layout:
+        # word j -> col 1 + j//bw, row j%bw (elements start one column in)
+        j = fi - 2
+        jq = lanes.div_dyn(
+            jnp.maximum(j, 0), jnp.maximum(bw, 1), max(1, (span * SUB - 1).bit_length())
+        )
+        jread = (e * bw + 31) >> 5  # words the e-element reader touches
+        tgt = SUB + jq * SUB + (j - jq * bw)
+        valid = (j >= 0) & (j < jread) & (bw > 0)
+        (wv,), okw = lanes.butterfly_right(
+            [blob], jnp.where(valid, tgt - fi, 0), valid, span
+        )
+        words = jnp.where(okw, wv, 0).astype(jnp.uint32)
+        v = lanes.unpack_columns(words, bw)
+        ei = fi - SUB  # element index (col 0 held the raw stream/hdr)
+        x = (v.astype(jnp.int32) + frame) & mask32
+        x = jnp.where(bw > 0, x, frame)
+        x = jnp.where((ei >= 0) & (ei < n), x, 0)
+        return x, n
+    # raw: n = size // width; stream word m (at flat m) holds `per` elements;
+    # spread to element slot 32 + m*per, forward-fill, extract per byte lane
+    width = tbits // 8
+    per = 4 // width
+    n = size // width
+    m = fi
+    valid = m < _cdiv(e * width, 4)
+    tgt = SUB + m * per
+    (wv,), okw = lanes.butterfly_right(
+        [blob], jnp.where(valid, tgt - fi, 0), valid, span
+    )
+    wv = jnp.where(okw, wv, 0)
+    wv = lanes.ffill(wv, okw, span)
+    ei = fi - SUB
+    if per > 1:
+        sh = ((ei % per) * width * 8).astype(jnp.uint32)
+        x = ((wv.astype(jnp.uint32) >> sh) & mask32.astype(jnp.uint32)).astype(jnp.int32)
+    else:
+        x = wv
+    x = jnp.where((ei >= 0) & (ei < n), x, 0)
+    return x, n
+
+
+def _inverse_schedule_static(nr: int, nd: int):
+    """Decompression op order (reference src/CascadedKernels.hiph:1333-1398)."""
+    ops = []
+    rle_rem, delta_rem = nr, nd
+    for _ in range(max(nr, nd)):
+        if delta_rem > 0 and delta_rem >= rle_rem:
+            ops.append(("delta", delta_rem - 1))
+            delta_rem -= 1
+        if rle_rem > 0 and rle_rem >= delta_rem:
+            ops.append(("rle", rle_rem - 1))
+            rle_rem -= 1
+    return ops
+
+
+def _decode_kernel(lay: _DLayout, size_ref, comp_ref, out_ref):
+    w, e, k = lay.w, lay.e, lay.k
+    ebits = 8 * w
+    nr, nd, bp = lay.nr, lay.nd, lay.bp
+    from tpucomp.core.types import Status
+
+    comp_size = size_ref[pl.program_id(0)]
+    end_words = comp_size // 4
+
+    words_in = comp_ref[0].astype(jnp.int32)
+
+    # ---- partition header -------------------------------------------------
+    ashape = (SUB, lay.l_a)
+    wa = _embed_cols(words_in, lay.l_a)
+    afi = lanes.flat_iota(ashape)
+    h0 = lanes.seg_reduce(jnp.where(afi == 0, wa, 0), lay.l_a, "or")
+    h1 = lanes.seg_reduce(jnp.where(afi == 1, wa, 0), lay.l_a, "or")
+    p_nr = h0 & 0xFF
+    p_nd = (h0 >> 8) & 0xFF
+    p_bp = (h0 >> 16) & 0xFF
+    p_dt = (h0 >> 24) & 0xFF
+    n_bytes = h1
+    n_elems = n_bytes // w
+    hdr_ok = comp_size >= 8
+    fits = lay.out_capacity >= n_bytes
+    is_fallback = (p_nr == 0) & (p_nd == 0) & (p_bp == 0)
+    matches = (p_nr == nr) & (p_nd == nd) & (p_bp == int(bp)) & (p_dt == lay.dtype_code)
+
+    # ---- chunk walk (reference pointer walk; codecs/cascaded.py _walk_chunks)
+    pos = jnp.full(ashape, 8, jnp.int32)
+    offs, lives = [], []
+    for _ in range(k):
+        word = lanes.select_word(wa, jnp.clip(pos // 4, 0, lay.l_a * SUB - 1))
+        total = jnp.where(
+            word.astype(jnp.uint32) > jnp.uint32(lay.walk_clamp), lay.walk_clamp, word
+        )
+        in_range = pos < end_words * 4
+        offs.append(pos)
+        lives.append(in_range)
+        pos = jnp.where(in_range, _rup(pos + jnp.maximum(total, 4), w), pos)
+    end_pos = pos
+
+    # ---- phase A: spread chunk streams to static chunk slots -------------
+    cid = jnp.full(ashape, -1, jnp.int32)
+    off_of = jnp.zeros(ashape, jnp.int32)
+    for kk in range(k):
+        here = lives[kk] & (afi * 4 >= offs[kk])
+        cid = jnp.where(here, kk, cid)
+        off_of = jnp.where(here, offs[kk], off_of)
+    lw = afi - off_of // 4
+    slot_base = SUB + cid * (lay.dc * SUB)
+    valid_a = (cid >= 0) & (lw >= 0) & (lw < lay.dc * SUB)
+    (slotted,), ok_a = lanes.butterfly_right(
+        [wa], jnp.where(valid_a, slot_base + lw - afi, 0), valid_a, lay.l_a,
+        nbits=lay.nbits_a,
+    )
+    slotted = jnp.where(ok_a, slotted, 0)
+
+    # ---- phase B: static meta extraction per chunk (span dc) -------------
+    # per-chunk scalar math happens on the B-shape [SUB, k*dc] (span dc);
+    # the slots start one column in, so shift left one column first
+    dspan = lay.dc
+    bshape = (SUB, k * dspan)
+    slot_t = lanes.flat_roll_static(slotted, lay.l_a * SUB - SUB, lay.l_a)[
+        :, : k * dspan
+    ]
+    dfi = lanes.flat_iota(bshape) % (dspan * SUB)
+    mvals = [
+        lanes.seg_reduce(jnp.where(dfi == j, slot_t, 0), dspan, "or")
+        for j in range(lay.mw)
+    ]
+    cap = lay.in_capacity + 8
+    blob_sizes = [
+        jnp.minimum(m.astype(jnp.uint32), jnp.uint32(cap)).astype(jnp.int32)
+        for m in mvals[: 2 + nr]
+    ]
+    # delta firsts (byte-packed at dh_off)
+    firsts_a = []
+    if nd:
+        dh_off = round_up_to(4 + 4 * (nr + 1), w)
+        per = 4 // w
+        emask = jnp.int32((1 << ebits) - 1) if ebits < 32 else jnp.int32(-1)
+        for i in range(nd):
+            word = mvals[dh_off // 4 + i // per]
+            fv = (word >> (8 * w * (i % per))) & emask
+            firsts_a.append(_sext(fv, ebits) if ebits < 32 else fv)
+
+    # per-chunk walk scalars broadcast onto the B-shape
+    gi_b = lanes.lane_iota(bshape) // dspan
+    chunk_off_b = jnp.zeros(bshape, jnp.int32)
+    live_b = jnp.zeros(bshape, jnp.int32)
+    for kk in range(k):
+        sel = gi_b == kk
+        chunk_off_b = jnp.where(sel, _bc_ep(offs[kk], bshape), chunk_off_b)
+        live_b = jnp.where(sel, _bc_ep(lives[kk].astype(jnp.int32), bshape), live_b)
+    end_words_b = _bc_ep(end_words, bshape)
+
+    # section offsets relative to base = chunk_off + meta_size
+    # (codecs/cascaded.py _decompress_chunk:427-434)
+    rle_offsets = [jnp.zeros(bshape, jnp.int32)]
+    for kk in range(nr - 1):
+        rle_offsets.append(_rup(rle_offsets[kk] + blob_sizes[kk + 1], 4))
+    if nr > 0:
+        final_off = _rup(rle_offsets[-1] + blob_sizes[nr], max(4, w))
+    else:
+        final_off = jnp.zeros(bshape, jnp.int32)
+
+    base_b = chunk_off_b + lay.meta_size
+    okc = (chunk_off_b + lay.meta_size) // 4 <= end_words_b
+
+    def in_bounds(off, size):
+        return (base_b + off) // 4 + (size + 3) // 4 <= end_words_b
+
+    fsize = blob_sizes[1 + nr]
+    okc = okc & in_bounds(final_off, fsize)
+    for i in range(nr):
+        okc = okc & in_bounds(rle_offsets[i], blob_sizes[1 + i])
+
+    # ---- phase C: spread blob streams to per-blob slots ------------------
+    cshape = (SUB, lay.l_c)
+    wc = _embed_cols(slotted, lay.l_c)
+    cfi = lanes.flat_iota(cshape)
+    # a word's chunk in slot space: (cfi - SUB) // (dc*SUB)
+    cid2 = (cfi - SUB) // (lay.dc * SUB)
+    lw2 = (cfi - SUB) - cid2 * (lay.dc * SUB) - lay.mw  # word idx past meta
+    in_chunk = (cfi >= SUB) & (cid2 < k)
+    # per-slot section offsets: broadcast from the dc-span tiles via cid2
+    # (the dc-span tiles are aligned with slot space shifted by one column)
+    secoff_parts = []
+    off_w = [ro // 4 for ro in rle_offsets] + [final_off // 4]
+    sz_w = [(blob_sizes[1 + i] + 3) // 4 for i in range(nr)] + [(fsize + 3) // 4]
+    # move-window clamp: every readable word fits the slot by construction
+    slot_caps = [1 + lay.cd_cols] * nr + [1 + lay.fd_cols]
+    slot_bases = []
+    acc = 1
+    for scap in slot_caps:
+        slot_bases.append(acc)
+        acc += scap
+    # align dc-span per-chunk scalars to phase-C slot coordinates: the
+    # scalars live in [SUB, l_a] with span dc starting at lane 0; slot words
+    # start at lane 1.  Shift right one column.
+    def to_c(t):
+        t2 = _embed_cols(t, lay.l_c)
+        return lanes.flat_roll_static(t2, SUB, lay.l_c)
+
+    live_c = to_c(live_b) > 0
+    sec = jnp.full(cshape, -1, jnp.int32)
+    secstart = jnp.zeros(cshape, jnp.int32)
+    secsz = jnp.zeros(cshape, jnp.int32)
+    secbase = jnp.zeros(cshape, jnp.int32)
+    seccap = jnp.zeros(cshape, jnp.int32)
+    for i in range(nr + 1):
+        o = to_c(off_w[i])
+        s = to_c(sz_w[i])
+        here = in_chunk & (lw2 >= o)
+        sec = jnp.where(here, i, sec)
+        secstart = jnp.where(here, o, secstart)
+        secsz = jnp.where(here, s, secsz)
+        secbase = jnp.where(here, slot_bases[i], secbase)
+        seccap = jnp.where(here, slot_caps[i] * SUB, seccap)
+    j_c = lw2 - secstart
+    valid_c = (
+        in_chunk
+        & (sec >= 0)
+        & (j_c >= 0)
+        & (j_c < jnp.minimum(secsz, seccap))
+        & live_c
+    )
+    tgt_c = SUB * (1 + cid2 * lay.sc2 + secbase) + j_c
+    (blobbed,), ok_c = lanes.butterfly_right(
+        [wc], jnp.where(valid_c, tgt_c - cfi, 0), valid_c, lay.l_c,
+        nbits=lay.nbits_c,
+    )
+    blobbed = jnp.where(ok_c, blobbed, 0)
+
+    # ---- phase D: per-blob decode into element tiles ---------------------
+    # slice each blob's slot per chunk into [SUB, k*ep] tiles (span ep)
+    def blob_tile(bi):
+        span_b = lay.ep
+        parts = []
+        scap = slot_caps[bi]
+        for g in range(k):
+            base_col = 1 + g * lay.sc2 + slot_bases[bi]
+            sl = blobbed[:, base_col : base_col + scap]
+            if scap < span_b:
+                sl = jnp.concatenate(
+                    [sl, jnp.zeros((SUB, span_b - scap), jnp.int32)], axis=1
+                )
+            parts.append(sl[:, :span_b])
+        return jnp.concatenate(parts, axis=1)
+
+    # per-chunk scalars regrouped into the ep-span pipeline layout
+    def to_ep(t):
+        return lanes.regroup_scalar(t, lay.dc, k, lay.ep)
+
+    sizes_ep = [to_ep(blob_sizes[1 + i]) for i in range(nr)]
+    fsize_ep = to_ep(fsize)
+    firsts_ep = [to_ep(f) for f in firsts_a]
+    okc_ep = to_ep(okc.astype(jnp.int32)) > 0
+    live_ep = to_ep(live_b) > 0
+
+    final_blob = blob_tile(nr)
+    cur_x, cur_n = _unpack_blob_tile(final_blob, lay.ep, ebits, bp, fsize_ep, lay.e)
+    if ebits < 32:
+        cur_x = _sext(cur_x, ebits)
+    counts_tiles = {}
+    for sk, idx in _inverse_schedule_static(nr, nd):
+        if sk == "rle" and idx not in counts_tiles:
+            ct, _cn = _unpack_blob_tile(
+                blob_tile(idx), lay.ep, 16, bp, sizes_ep[idx], lay.e
+            )
+            counts_tiles[idx] = ct & jnp.int32(0xFFFF)
+
+    # elements currently sit at group flat [32, 32+e); shift to group front
+    def front(t):
+        return lanes.flat_roll_static(t, lay.ep * SUB - SUB, lay.ep)
+
+    cur_x = front(cur_x)
+    efi = lanes.flat_iota(cur_x.shape) % (lay.ep * SUB)
+    for sk, idx in _inverse_schedule_static(nr, nd):
+        if sk == "delta":
+            cur_x, cur_n = _delta_decode_tile(cur_x, firsts_ep[idx], cur_n, lay.ep, ebits)
+            cur_n = jnp.minimum(cur_n, e)
+        else:
+            cur_x, cur_n = _rle_decode_tile(cur_x, front(counts_tiles[idx]), cur_n, lay.ep)
+
+    counts_k = jnp.where(live_ep, jnp.where(okc_ep, cur_n, 0), 0)
+    ok_pipe_t = okc_ep | ~live_ep
+
+    # ---- partition-level checks ------------------------------------------
+    # group-level cumsum of counts over chunks (on the ep-span tile)
+    pre = _group_excl_scan(counts_k, lay.ep, k)
+    cum = pre + counts_k
+    L_ep = lay.k * lay.ep
+    ok_pipe = lanes.seg_reduce((~ok_pipe_t).astype(jnp.int32), L_ep, "max") == 0
+    total_elems = lanes.seg_reduce(cum, L_ep, "max")
+    over = lanes.seg_reduce((cum > _bc_ep(n_elems, cur_x.shape)).astype(jnp.int32), L_ep, "max")
+    n_elems_ep = _bc_ep(n_elems, cur_x.shape)
+    end_pos_ep = _bc_ep(end_pos, cur_x.shape)
+    comp_size_ep = _bc_ep(comp_size, cur_x.shape)
+    ok_pipe = ok_pipe & (total_elems == n_elems_ep) & (over == 0)
+    ok_pipe = ok_pipe & (end_pos_ep >= (comp_size_ep // 4) * 4)
+
+    # ---- phase F: ragged concat of chunk outputs -------------------------
+    jloc = efi
+    valid_f = (jloc < counts_k) & (jloc < e)
+    tgt_f = pre + jloc
+    dist_f = lanes.flat_iota(cur_x.shape) - tgt_f
+    (outx,), ok_f = lanes.butterfly_left(
+        [cur_x], jnp.where(valid_f, dist_f, 0), valid_f, L_ep, nbits=lay.nbits_f
+    )
+    outx = jnp.where(ok_f, outx, 0)
+
+    # ---- fallback raw path ------------------------------------------------
+    oshape = cur_x.shape
+    ofi = lanes.flat_iota(oshape)
+    w_f = _embed_cols(words_in, oshape[1])
+    w_f = lanes.flat_roll_static(w_f, oshape[1] * SUB - 2, oshape[1])  # word j+2 -> j
+    if w == 4:
+        fbx = w_f
+    else:
+        per = 4 // w
+        m = ofi
+        valid_w = m * per < lay.cap_elems + per
+        (sp,), oksp = lanes.butterfly_right(
+            [w_f], jnp.where(valid_w, m * per - m, 0), valid_w, oshape[1]
+        )
+        sp = jnp.where(oksp, sp, 0)
+        sp = lanes.ffill(sp, oksp, oshape[1])
+        sh = ((ofi % per) * w * 8).astype(jnp.uint32)
+        emask = jnp.uint32((1 << ebits) - 1)
+        fbx = ((sp.astype(jnp.uint32) >> sh) & emask).astype(jnp.int32)
+        fbx = _sext(fbx, ebits)
+    fb_ok = comp_size >= 8 + n_elems * w
+
+    # ---- select, mask, status --------------------------------------------
+    is_fb = _bc_ep(is_fallback.astype(jnp.int32), oshape) > 0
+    out = jnp.where(is_fb, fbx, outx)
+    n_elems_o = _bc_ep(n_elems, oshape)
+    out = jnp.where(ofi < n_elems_o, out, 0)
+    ok = jnp.where(
+        _bc_ep(is_fallback.astype(jnp.int32), oshape) > 0,
+        _bc_ep(fb_ok.astype(jnp.int32), oshape) > 0,
+        ok_pipe & (_bc_ep(matches.astype(jnp.int32), oshape) > 0),
+    )
+    ok = (
+        ok
+        & (_bc_ep(hdr_ok.astype(jnp.int32), oshape) > 0)
+        & (_bc_ep(fits.astype(jnp.int32), oshape) > 0)
+        & (_bc_ep((comp_size > 0).astype(jnp.int32), oshape) > 0)
+    )
+    out = jnp.where(ok, out, 0)
+    out_bytes = jnp.where(ok, n_elems_o * w, 0)
+    status = jnp.where(ok, int(Status.SUCCESS), int(Status.ERROR_CANNOT_DECOMPRESS))
+
+    # embed in the 128-aligned output tile; size/status ride the last column
+    # (out_bytes/status are uniform tiles: re-broadcast onto the padded shape)
+    fshape = (SUB, lay.l_out)
+    out = _embed_cols(out, lay.l_out)
+    li_o = lanes.lane_iota(fshape)
+    si_o = lanes.sublane_iota(fshape)
+    last = lay.l_out - 1
+    out = jnp.where((li_o == last) & (si_o == 0), _bc_ep(out_bytes, fshape), out)
+    out = jnp.where((li_o == last) & (si_o == 1), _bc_ep(status, fshape), out)
+    out_ref[0] = out
+
+
+def _bc_ep(v, shape):
+    """Broadcast a whole-tile-uniform tile or scalar to ``shape``."""
+    if not hasattr(v, "shape") or v.shape == ():
+        return jnp.full(shape, v, jnp.int32)
+    if v.dtype == jnp.bool_:
+        v = v.astype(jnp.int32)
+    col = jnp.max(v[:1, :1], axis=0, keepdims=True)
+    return jax.lax.broadcast_in_dim(col, shape, (0, 1))
+
+
+def supports_decode(opts, in_capacity: int, out_capacity: int) -> bool:
+    if not supports(opts, max(out_capacity, 1)):
+        return False
+    return out_capacity >= 1
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "out_capacity", "interpret"))
+def decompress(comp, comp_sizes, opts, out_capacity: int, interpret: bool = False):
+    """Batched fused cascaded decompression on the Pallas path.
+
+    comp: uint8[B, CMAX]; comp_sizes: int32[B].  Returns (data uint8[B,
+    out_capacity], lengths int32[B], statuses int32[B]), matching
+    codecs/cascaded.py decompress.
+    """
+    from tpucomp.utils import bits
+
+    b, cmax = comp.shape
+    lay = _DLayout(opts, cmax, out_capacity)
+
+    pad = lay.l_inw * SUB * 4 - cmax
+    cw = comp
+    if pad:
+        cw = jnp.concatenate([comp, jnp.zeros((b, pad), jnp.uint8)], axis=1)
+    words = bits.bytes_to_units_le(cw, 4).astype(jnp.uint32)
+    words_cm = words.reshape(b, lay.l_inw, SUB).transpose(0, 2, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, SUB, lay.l_inw), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, SUB, lay.l_out), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel, lay),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, SUB, lay.l_out), jnp.int32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+    )(comp_sizes.astype(jnp.int32), words_cm)
+
+    last = lay.l_out - 1
+    out_bytes = out[:, 0, last].astype(jnp.int32)
+    statuses = out[:, 1, last].astype(jnp.int32)
+    elems = out.transpose(0, 2, 1).reshape(b, -1)[:, : lay.cap_elems]
+    emask = (1 << (8 * lay.w)) - 1 if lay.w < 4 else -1
+    u = (elems & jnp.int32(emask)).astype(jnp.uint32)
+    if lay.w < 4:
+        u = u.astype(bits.unsigned_of_width(lay.w))
+    data = bits.units_to_bytes_le(u)[:, :out_capacity]
+    if data.shape[1] < out_capacity:
+        data = jnp.concatenate(
+            [data, jnp.zeros((b, out_capacity - data.shape[1]), jnp.uint8)], axis=1
+        )
+    return data, out_bytes, statuses

@@ -394,6 +394,21 @@ def unpack_allpairs(words, bw, span: int, max_w: int = 32):
     return out & mask
 
 
+def regroup_scalar(t, span_src: int, n_groups: int, span_dst: int):
+    """Transfer per-group broadcast scalars between group layouts.
+
+    ``t``: [SUB, n_groups*span_src] tile whose value is uniform within each
+    span_src-lane group.  Returns [SUB, n_groups*span_dst] with group g's
+    scalar broadcast over span_dst lanes.  (Lane-crossing reshapes are not
+    available in Mosaic; this is K slices + broadcasts + one concat.)
+    """
+    parts = []
+    for g in range(n_groups):
+        col = t[:, g * span_src : g * span_src + 1]
+        parts.append(jax.lax.broadcast_in_dim(col, (t.shape[0], span_dst), (0, 1)))
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+
 def select_word(x, pos):
     """Extract the value at traced column-major flat position ``pos`` as a
     broadcast [SUB, L] array (mask + full OR-reduce; no dynamic indexing)."""
