@@ -171,20 +171,25 @@ def butterfly_left(payloads, dist, valid, span: int, nbits: int | None = None):
     Targets must be distinct with nondecreasing ``dist`` per group
     (compaction / left-packing).  Bits processed low -> high.
     Returns (payloads', valid').
+
+    dist and valid are fused into one state tensor (-1 = empty slot) so each
+    stage rolls len(payloads) + 1 tensors and derives both the incoming and
+    the vacated masks from the single rolled state.
     """
     total = span * payloads[0].shape[0]
     nbits = nbits or _ilog2_ceil(total)
-    dist = dist.astype(jnp.int32)
+    state = jnp.where(valid, dist.astype(jnp.int32), -1)
     for s in range(nbits):
         step = 1 << s
-        move = valid & (((dist >> s) & 1) == 1)
-        incoming = flat_roll_static(move, -step, span)
+        rolled = flat_roll_static(state, -step, span)
+        incoming = rolled >= step  # moving element: bit s of its dist is set
+        incoming &= (rolled >> s) & 1 == 1
+        moving_away = (state >= step) & ((state >> s) & 1 == 1)
         payloads = [
             jnp.where(incoming, flat_roll_static(p, -step, span), p) for p in payloads
         ]
-        dist = jnp.where(incoming, flat_roll_static(dist, -step, span) - step, dist)
-        valid = incoming | (valid & ~move)
-    return payloads, valid
+        state = jnp.where(incoming, rolled - step, jnp.where(moving_away, -1, state))
+    return payloads, state >= 0
 
 
 def butterfly_right(payloads, dist, valid, span: int, nbits: int | None = None):
@@ -192,21 +197,22 @@ def butterfly_right(payloads, dist, valid, span: int, nbits: int | None = None):
 
     Targets must be distinct with nondecreasing ``dist`` per group
     (expansion / monotone placement).  Bits processed high -> low.
-    Returns (payloads', valid').
+    Returns (payloads', valid').  Same fused-state scheme as butterfly_left.
     """
     total = span * payloads[0].shape[0]
     nbits = nbits or _ilog2_ceil(total)
-    dist = dist.astype(jnp.int32)
+    state = jnp.where(valid, dist.astype(jnp.int32), -1)
     for s in reversed(range(nbits)):
         step = 1 << s
-        move = valid & (((dist >> s) & 1) == 1)
-        incoming = flat_roll_static(move, step, span)
+        rolled = flat_roll_static(state, step, span)
+        incoming = rolled >= step
+        incoming &= (rolled >> s) & 1 == 1
+        moving_away = (state >= step) & ((state >> s) & 1 == 1)
         payloads = [
             jnp.where(incoming, flat_roll_static(p, step, span), p) for p in payloads
         ]
-        dist = jnp.where(incoming, flat_roll_static(dist, step, span) - step, dist)
-        valid = incoming | (valid & ~move)
-    return payloads, valid
+        state = jnp.where(incoming, rolled - step, jnp.where(moving_away, -1, state))
+    return payloads, state >= 0
 
 
 def butterfly_left_or(payload, dist, valid, span: int, nbits: int | None = None):
@@ -223,19 +229,18 @@ def butterfly_left_or(payload, dist, valid, span: int, nbits: int | None = None)
     """
     total = span * payload.shape[0]
     nbits = _ilog2_ceil(total) if nbits is None else nbits
-    dist = dist.astype(jnp.int32)
     zero = jnp.zeros_like(payload)
+    state = jnp.where(valid, dist.astype(jnp.int32), -1)
     for s in range(nbits):
         step = 1 << s
-        move = valid & (((dist >> s) & 1) == 1)
-        inc = flat_roll_static(move, -step, span)
-        inc_p = flat_roll_static(jnp.where(move, payload, zero), -step, span)
-        inc_d = flat_roll_static(dist, -step, span) - step
-        stay = valid & ~move
-        payload = jnp.where(stay, payload, zero) | jnp.where(inc, inc_p, zero)
-        dist = jnp.where(inc, inc_d, jnp.where(stay, dist, 0))
-        valid = stay | inc
-    return payload, valid
+        rolled = flat_roll_static(state, -step, span)
+        incoming = (rolled >= step) & ((rolled >> s) & 1 == 1)
+        moving_away = (state >= step) & ((state >> s) & 1 == 1)
+        stay = (state >= 0) & ~moving_away
+        inc_p = flat_roll_static(payload, -step, span)
+        payload = jnp.where(stay, payload, zero) | jnp.where(incoming, inc_p, zero)
+        state = jnp.where(incoming, rolled - step, jnp.where(stay, state, -1))
+    return payload, state >= 0
 
 
 def pack_columns(e, bw, n):
