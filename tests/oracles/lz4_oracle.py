@@ -63,13 +63,11 @@ def lz4_decompress_oracle(comp: bytes, max_out: int | None = None) -> bytes:
     return bytes(out)
 
 
-def lz4_compress_oracle(data: bytes, max_match: int = 52) -> bytes:
-    # max_match mirrors the JAX compressor's extension cap (4 guaranteed
-    # seed bytes + 12 4-byte windows = 52) for
-    # offsets > 8; offsets <= 8 extend exactly in both implementations.
+def lz4_compress_oracle(data: bytes, max_match: int = 1 << 30) -> bytes:
     """Greedy LZ4 encoder with an exact nearest-previous-occurrence matcher
-    (like the JAX compressor's sort-based matcher, so parses agree on most
-    inputs).  Produces valid, spec-conformant streams."""
+    and unbounded match extension (like the JAX compressor's sort-based
+    matcher + suffix-id LCP walk, so parses agree on most inputs).
+    Produces valid, spec-conformant streams."""
     n = len(data)
     out = bytearray()
     if n == 0:

@@ -108,10 +108,9 @@ def _emit_literal(out: bytearray, data: bytes):
     out += data
 
 
-def snappy_compress_oracle(data: bytes, max_match: int = 52, max_offset: int = 32768) -> bytes:
-    """Greedy encoder with the exact nearest-previous-occurrence matcher
-    (mirrors the JAX compressor: offsets <= 8 extend exactly, larger offsets
-    cap at max_match)."""
+def snappy_compress_oracle(data: bytes, max_match: int = 1 << 30, max_offset: int = 32768) -> bytes:
+    """Greedy encoder with the exact nearest-previous-occurrence matcher and
+    unbounded match extension (mirrors the JAX compressor)."""
     n = len(data)
     out = bytearray(_varint(n))
     last_pos: dict[bytes, int] = {}

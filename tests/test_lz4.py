@@ -67,14 +67,34 @@ def test_roundtrip_profiles(rng):
     _roundtrip(list(_profiles(rng).values()))
 
 
+def _long_match_profiles(rng):
+    """Corpora whose best matches far exceed the old 52-byte cap at
+    offsets > 8 (repeated blocks, large periods)."""
+    block = rng.integers(0, 256, 256, dtype=np.uint8)
+    page = rng.integers(0, 256, 1024, dtype=np.uint8)
+    return {
+        "repeat256": np.tile(block, C // 256 + 1)[:C],
+        "two_pages": np.concatenate([page, page, page, page])[:C],
+        "period37": np.tile(rng.integers(0, 256, 37, dtype=np.uint8), C // 37 + 1)[:C],
+        "half_dup": np.concatenate(
+            [rng.integers(0, 256, C // 2, dtype=np.uint8)] * 2
+        )[:C],
+    }
+
+
 def test_matches_oracle_encoder(rng):
-    """Both encoders use the exact nearest-previous-occurrence matcher, so
-    streams should be close; ours must never be (meaningfully) larger."""
-    profs = _profiles(rng)
+    """Both encoders use the exact nearest-previous-occurrence matcher with
+    unbounded extension, so streams should be close; ours must never be
+    (meaningfully) larger -- including on long-match corpora."""
+    profs = {**_profiles(rng), **_long_match_profiles(rng)}
     comp, sizes = _compress(list(profs.values()))
     for i, (name, a) in enumerate(profs.items()):
         exp = lz4_compress_oracle(a.tobytes())
         assert sizes[i] <= len(exp) + 8, f"{name}: {sizes[i]} vs oracle {len(exp)}"
+
+
+def test_long_match_roundtrip(rng):
+    _roundtrip(list(_long_match_profiles(rng).values()))
 
 
 def test_small_sizes(rng):

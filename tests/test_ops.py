@@ -123,6 +123,46 @@ def test_rle_matches_oracle(rng, dtype, profile):
         np.testing.assert_array_equal(rle_decode_oracle(ov, oc), u[:n])
 
 
+@pytest.mark.parametrize("count_dtype", ["uint16", "uint32", "uint64"])
+def test_rle_count_widths(rng, count_dtype):
+    """Standalone 16/32/64-bit count variants at >= 1M elements, mirroring
+    the reference's compressDownstream count-type dispatch
+    (src/RunLengthEncodeGPU.hip:479-560; test :259-539).  num_runs stays a
+    device scalar (the device-resident-size analogue)."""
+    e = 1 << 20
+    x = np.repeat(
+        rng.integers(0, 50, 40000).astype(np.uint32),
+        rng.integers(1, 60, 40000),
+    )[:e].astype(np.uint32)
+    n = x.size
+    xe = np.zeros(e, np.uint32)
+    xe[:n] = x
+    vals, counts, num_runs = rl.rle_encode(jnp.asarray(xe), jnp.int32(n), count_dtype)
+    assert counts.dtype == jnp.dtype(count_dtype)
+    ov, oc = rle_encode_oracle(x)
+    r = int(num_runs)
+    assert r == ov.size
+    np.testing.assert_array_equal(np.asarray(vals)[:r], ov)
+    np.testing.assert_array_equal(np.asarray(counts)[:r].astype(np.int64), oc)
+    y, total = rl.rle_decode(vals, counts, num_runs, e)
+    assert int(total) == n
+    np.testing.assert_array_equal(np.asarray(y)[:n], x)
+
+
+def test_rle_long_runs_need_wide_counts(rng):
+    """Runs longer than 65535 require the 32-bit count variant (the uint16
+    fused-path dtype would wrap)."""
+    e = 1 << 18
+    x = np.zeros(e, np.uint32)
+    x[200000:] = 7  # first run 200000 > 65535
+    vals, counts, num_runs = rl.rle_encode(jnp.asarray(x), jnp.int32(e), "uint32")
+    assert int(num_runs) == 2
+    assert int(counts[0]) == 200000 and int(counts[1]) == e - 200000
+    y, total = rl.rle_decode(vals, counts, num_runs, e)
+    assert int(total) == e
+    np.testing.assert_array_equal(np.asarray(y), x)
+
+
 @pytest.mark.parametrize("dtype", DTYPES)
 def test_delta_matches_oracle(rng, dtype):
     e = 300

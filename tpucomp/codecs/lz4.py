@@ -14,9 +14,10 @@ Design (dense vector ops + two small batched loops; no warp ballots):
       the exact nearest previous occurrence of every position -- the ideal
       form of the reference's 2^14-entry hash table (:557-561,634-663),
       with no collisions
-    - match lengths: exact closed form for offsets <= 8 via per-offset
-      equality runs (reverse cummin), iterative 4-byte extension capped at
-      MAX_EXT_ITERS for larger offsets
+    - match lengths: exact unbounded extension via a binary greedy walk
+      over prefix-doubled suffix-id levels (lz77.suffix_id_levels) --
+      full-length matches at any offset, matching lengthOfMatch
+      (reference src/LZ4Kernels.hiph:592-617) without its serial walk
     - greedy parse: literals need no steps -- "next match position" is a
       dense reverse cummin -- so the batched while_loop advances one
       *sequence* per iteration
@@ -53,8 +54,6 @@ MAX_OFFSET = 65535
 MIN_MATCH = 4
 LAST_LITERALS = 5  # reference src/LZ4Kernels.hiph:168
 LAST_VALID_MATCH = 13  # match start <= n - 13 (mirrors the test oracle)
-MAX_EXT_ITERS = 12  # match cap 4 + 12*4 = 52 bytes for offsets > 8
-SMALL_OFFSETS = 8  # exact (uncapped) match lengths for offsets 1..8
 PARSE_BLOCK = 4096  # independent greedy-parse blocks (lz77.block_parallel_parse)
 
 _INF = np.int32(2**30)  # numpy scalar: no backend init at import
@@ -254,7 +253,7 @@ def _delimit(comp, comp_len, out_cap: int, s_max: int):
 
 _jit_match = jax.jit(
     jax.vmap(
-        lambda d, n: (lambda j: lz77.match_lengths(d, n, j, MAX_OFFSET, SMALL_OFFSETS, MAX_EXT_ITERS))(lz77.nearest_prev_occurrence(d, n))
+        lambda d, n: (lambda j: lz77.match_lengths(d, n, j, MAX_OFFSET))(lz77.nearest_prev_occurrence(d, n))
     )
 )
 

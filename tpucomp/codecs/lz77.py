@@ -61,58 +61,67 @@ def nearest_prev_occurrence(data, n):
     return permute.place(prev, pos, jnp.ones((c,), jnp.bool_), c)
 
 
-def match_lengths(data, n, j, max_offset: int, small_offsets: int, max_ext_iters: int):
-    """Common-prefix length of data[i:] vs data[j:]: exact for offsets <=
-    small_offsets via per-offset equality runs, capped 4-byte-window
-    extension otherwise.  Returns (mlen, dist, cand)."""
+def suffix_id_levels(data, max_h: int):
+    """Prefix-equality ids by prefix doubling.
+
+    Returns [(h, ids int32[c])] for h = 8, 16, ..., first >= max_h.  For
+    positions a, b with a + h <= valid length, ids[a] == ids[b] iff
+    data[a:a+h] == data[b:b+h]; ids at positions whose window runs past the
+    array end are arbitrary (callers bound-check before use).  Each level is
+    one 2-key sort + one placement sort (no gathers) -- O(n log n) total
+    sort work, the dense counterpart of the reference's byte-at-a-time
+    lengthOfMatch walk (reference src/LZ4Kernels.hiph:592-617).
+    """
+    c = data.shape[-1]
+    i = jnp.arange(c, dtype=jnp.int32)
+    ones = jnp.ones((c,), jnp.bool_)
+    cur = jax.lax.bitcast_convert_type(u32_keys(data), jnp.int32)
+    levels = []
+    h = 4
+    while h < max_h:
+        k2 = jnp.roll(cur, -h)
+        sk1, sk2, sp = jax.lax.sort((cur, k2, i), num_keys=2, is_stable=False)
+        neq = (sk1 != jnp.roll(sk1, 1)) | (sk2 != jnp.roll(sk2, 1))
+        neq = neq.at[0].set(True)
+        cur = permute.place(jnp.cumsum(neq.astype(jnp.int32)), sp, ones, c)
+        h *= 2
+        levels.append((h, cur))
+    return levels
+
+
+def match_lengths(data, n, j, max_offset: int):
+    """Exact common-prefix length of data[i:n] vs data[j[i]:n] (unbounded).
+
+    Binary greedy walk over suffix-id levels (high -> low): at level h the
+    next h bytes match iff the level ids agree, so the walk accumulates the
+    exact LCP in log2(c) compares (2 gathers each).  Handles overlapping
+    (periodic) matches exactly -- the ids encode the actual data.  Returns
+    (mlen, dist, cand).
+    """
     c = data.shape[-1]
     i = jnp.arange(c, dtype=jnp.int32)
     dist = i - j
     cand = (j >= 0) & (dist <= max_offset)
 
-    mlen_small = jnp.zeros((c,), jnp.int32)
-    for d in range(1, small_offsets + 1):
-        eq = data == jnp.roll(data, d)
-        nf = rev_cummin(jnp.where(eq, _INF, i))
-        run = jnp.minimum(nf, n) - i
-        mlen_small = jnp.where(dist == d, run, mlen_small)
+    # closed-form low levels; sort-built doubling levels cover 8..>=c/2
+    # (walk ceiling 2H+3 >= c covers any in-chunk match)
+    id1 = data.astype(jnp.int32)
+    id2 = id1 | (jnp.roll(id1, -1) << 8)
+    id4 = jax.lax.bitcast_convert_type(u32_keys(data), jnp.int32)
+    levels = suffix_id_levels(data, max(8, c // 2))
+    walk = levels[::-1] + [(4, id4), (2, id2), (1, id1)]
 
-    small = cand & (dist <= small_offsets)
-
-    keys = u32_keys(data)
+    # the candidate shares the 4-byte sort key, so the walk starts at 4;
+    # descending levels {H..8, 4, 2, 1} reach any value in [4, 2H+3]
+    lcp = jnp.where(cand, 4, 0)
+    jc = jnp.where(cand, j, 0)
     last = c - 1
-
-    def body(carry):
-        mlen, active, it = carry
-        a = keys[jnp.clip(i + mlen, 0, last)]
-        b = keys[jnp.clip(j + mlen, 0, last)]
-        x = a ^ b
-        lcp4 = jnp.where(
-            (x & 0xFF) != 0,
-            0,
-            jnp.where(
-                (x & 0xFF00) != 0, 1, jnp.where((x & 0xFF0000) != 0, 2, jnp.where(x != 0, 3, 4))
-            ),
-        ).astype(jnp.int32)
-        room = jnp.maximum(n - (i + mlen), 0)
-        step = jnp.minimum(lcp4, room)
-        mlen2 = mlen + jnp.where(active, step, 0)
-        active2 = active & (lcp4 == 4) & (step == 4)
-        return mlen2, active2, it + 1
-
-    def cond(carry):
-        _, active, it = carry
-        return jnp.any(active) & (it < max_ext_iters)
-
-    # the first window is guaranteed equal (the candidate shares the 4-byte
-    # sort key), so extension starts at mlen = 4
-    active0 = cand & ~small
-    mlen_big, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.where(active0, 4, 0).astype(jnp.int32), active0, jnp.int32(0))
-    )
-
-    mlen = jnp.where(small, mlen_small, mlen_big)
-    return jnp.where(cand, mlen, 0), dist, cand
+    for h, ids in walk:
+        a = i + lcp
+        b = jc + lcp
+        okh = cand & (a + h <= n) & (ids[jnp.clip(a, 0, last)] == ids[jnp.clip(b, 0, last)])
+        lcp = jnp.where(okh, lcp + h, lcp)
+    return jnp.where(cand, lcp, 0), dist, cand
 
 
 def block_parallel_parse(m_clamped, dist, n, parse_block: int, s_max: int):

@@ -32,8 +32,6 @@ from tpucomp.core.types import Status
 from tpucomp.utils import permute
 
 MAX_OFFSET = 32768  # encoder limit (reference src/snappy/config.h:91)
-MAX_EXT_ITERS = 12
-SMALL_OFFSETS = 8
 MIN_MATCH = 4
 PARSE_BLOCK = 4096
 
@@ -269,7 +267,7 @@ def _delimit(comp, comp_len, out_cap: int, s_max: int):
 
 _jit_match = jax.jit(
     jax.vmap(
-        lambda d, n: (lambda j: lz77.match_lengths(d, n, j, MAX_OFFSET, SMALL_OFFSETS, MAX_EXT_ITERS))(
+        lambda d, n: (lambda j: lz77.match_lengths(d, n, j, MAX_OFFSET))(
             lz77.nearest_prev_occurrence(d, n)
         )
     )
