@@ -12,8 +12,9 @@ import numpy as np
 import pytest
 
 from tpucomp.codecs import lz4
+from tpucomp.core.options import LZ4Opts
 from tpucomp.core.sizing import lz4_max_compressed_chunk_size
-from tpucomp.core.types import Status
+from tpucomp.core.types import DataType, Status, width_of
 
 from oracles.lz4_oracle import lz4_compress_oracle, lz4_decompress_oracle
 
@@ -95,6 +96,70 @@ def test_matches_oracle_encoder(rng):
 
 def test_long_match_roundtrip(rng):
     _roundtrip(list(_long_match_profiles(rng).values()))
+
+
+def _parse_sequences(comp: bytes):
+    """Yield (match_start_in_output, offset, match_len) per sequence."""
+    p, opos, n = 0, 0, len(comp)
+    while p < n:
+        token = comp[p]
+        p += 1
+        ll = token >> 4
+        if ll == 15:
+            while True:
+                b = comp[p]
+                p += 1
+                ll += b
+                if b != 255:
+                    break
+        p += ll
+        opos += ll
+        if p >= n:
+            break
+        off = comp[p] | (comp[p + 1] << 8)
+        p += 2
+        ml = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                b = comp[p]
+                p += 1
+                ml += b
+                if b != 255:
+                    break
+        yield opos, off, ml
+        opos += ml
+
+
+@pytest.mark.parametrize("dt", [DataType.USHORT, DataType.UINT])
+def test_typed_granularity(rng, dt):
+    """data_type sets element-aligned match starts/offsets (reference typed
+    kernel dispatch, src/lowlevel/LZ4CompressionKernels.hip:185-219) while
+    streams stay spec-conformant."""
+    w = width_of(dt)
+    # typed data with repeats at element granularity, phases misaligned at
+    # byte granularity so untyped matching would emit unaligned offsets
+    vals = rng.integers(0, 50, C // w).astype(np.uint16 if w == 2 else np.uint32)
+    vals[100:300] = vals[0:200]
+    vals[400:401] = 77_777 if w == 4 else 7_777
+    a = vals.view(np.uint8)
+    data = jnp.asarray(a[None, :].copy())
+    lengths = jnp.asarray(np.array([a.size], np.int32))
+    comp, sizes = lz4.compress(data, lengths, LZ4Opts(data_type=dt))
+    comp, sizes = np.asarray(comp), np.asarray(sizes)
+    stream = comp[0, : sizes[0]].tobytes()
+    # conformant + correct
+    assert lz4_decompress_oracle(stream) == a.tobytes()
+    seqs = list(_parse_sequences(stream))
+    assert seqs, "typed data with repeats must produce matches"
+    for start, off, _ in seqs:
+        assert off % w == 0, f"offset {off} not {w}-aligned"
+        assert start % w == 0, f"match start {start} not {w}-aligned"
+    # untyped (byte) matching on the same data must differ (finds more /
+    # unaligned matches), proving the opt is actually plumbed through
+    comp_b, sizes_b = lz4.compress(data, lengths, LZ4Opts())
+    stream_b = np.asarray(comp_b)[0, : int(np.asarray(sizes_b)[0])].tobytes()
+    assert lz4_decompress_oracle(stream_b) == a.tobytes()
+    assert stream_b != stream
 
 
 def test_small_sizes(rng):

@@ -251,11 +251,13 @@ def _delimit(comp, comp_len, out_cap: int, s_max: int):
 # jits compile in bounded time, hit the persistent cache, and add only
 # ~ms of dispatch.
 
-_jit_match = jax.jit(
-    jax.vmap(
-        lambda d, n: (lambda j: lz77.match_lengths(d, n, j, MAX_OFFSET))(lz77.nearest_prev_occurrence(d, n))
-    )
-)
+@functools.partial(jax.jit, static_argnames=("stride",))
+def _jit_match(data, lengths, stride: int = 1):
+    return jax.vmap(
+        lambda d, n: (lambda j: lz77.match_lengths(d, n, j, MAX_OFFSET))(
+            lz77.nearest_prev_occurrence(d, n, stride)
+        )
+    )(data, lengths)
 
 
 @functools.partial(jax.jit, static_argnames=("s_max",))
@@ -276,12 +278,21 @@ def _jit_emit(data, ls, ll, ml, off, s, lengths, out_max):
 
 def compress(data, lengths, opts=None):
     """Batched LZ4 compression.  data: uint8[B, C]; lengths: int32[B].
-    Returns (comp uint8[B, CMAX], comp_sizes int32[B])."""
+    Returns (comp uint8[B, CMAX], comp_sizes int32[B]).
+
+    ``opts.data_type`` sets the match-finder granularity (element-aligned
+    match starts/offsets for 2/4-byte types), mirroring the reference's
+    typed kernel dispatch (src/lowlevel/LZ4CompressionKernels.hip:185-219);
+    streams are valid LZ4 blocks for any setting.
+    """
+    from tpucomp.core.types import width_of
+
     c = data.shape[-1]
     out_max = lz4_max_compressed_chunk_size(c)
     s_max = c // MIN_MATCH + 2
+    stride = width_of(opts.data_type) if opts is not None else 1
     lengths = lengths.astype(jnp.int32)
-    mlen, dist, cand = _jit_match(data, lengths)
+    mlen, dist, cand = _jit_match(data, lengths, stride)
     ls, ll, ml, off, s = _jit_parse(mlen, dist, cand, lengths, s_max)
     return _jit_emit(data, ls, ll, ml, off, s, lengths, out_max)
 

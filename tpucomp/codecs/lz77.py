@@ -40,10 +40,14 @@ def rev_cummin(x):
     return jax.lax.cummin(x, axis=x.ndim - 1, reverse=True)
 
 
-def nearest_prev_occurrence(data, n):
+def nearest_prev_occurrence(data, n, stride: int = 1):
     """j[i] = largest j < i with data[j:j+4] == data[i:i+4], else -1.
 
-    One stable 2-key sort + one placement sort.
+    One stable 2-key sort + one placement sort.  ``stride`` > 1 restricts
+    candidates (both ends) to stride-aligned positions -- the typed-input
+    match granularity of the reference's element-typed kernels
+    (reference src/lowlevel/LZ4CompressionKernels.hip:185-219): matches
+    start element-aligned with element-aligned offsets.
     """
     c = data.shape[-1]
     i = jnp.arange(c, dtype=jnp.int32)
@@ -51,6 +55,8 @@ def nearest_prev_occurrence(data, n):
     # pack (invalid flag, position) into the secondary key: valid entries
     # sort before invalid ones within a window value, ascending position
     invalid = i > n - MIN_MATCH
+    if stride > 1:
+        invalid = invalid | (i % stride != 0)
     packed = jnp.where(invalid, i + _INF, i)
     sk, sp = jax.lax.sort((key, packed), num_keys=2, is_stable=False)
     pos = jnp.where(sp >= _INF, sp - _INF, sp)

@@ -21,7 +21,7 @@ CODEC = BatchCodec(
     name="lz4",
     default_opts=LZ4Opts(),
     max_compressed_chunk_size=_max_size,
-    compress_fn=lambda d, l, o: _lz4.compress(d, l),
+    compress_fn=lambda d, l, o: _lz4.compress(d, l, o),
     decompress_fn=lambda c, s, o, cap: _lz4.decompress(c, s, out_capacity=cap),
     decompress_size_fn=lambda c, s, o: _lz4.get_decompress_size(c, s),
 )
