@@ -533,29 +533,56 @@ def _decompress_partition(part, comp_size, out_capacity: int, opts: CascadedOpts
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
+def _compress_xla(data, lengths, opts: CascadedOpts):
+    return jax.vmap(lambda d, l: _compress_partition(d, l, opts))(data, lengths)
+
+
 def compress(data, lengths, opts: CascadedOpts):
     """Batched cascaded compression.
 
     data: uint8[B, C]; lengths: int32[B].  Returns (comp uint8[B, PMAX],
     comp_sizes int32[B]).  Lengths that are not a multiple of the element
     width are truncated (reference behavior, src/CascadedKernels.hiph:846).
+
+    Routes to the fused Pallas TPU kernel (tpucomp/kernels/cascaded_pallas.py)
+    when enabled and supported; both paths emit identical bytes.
     """
     opts.validate()
-    return jax.vmap(lambda d, l: _compress_partition(d, l, opts))(data, lengths)
+    from tpucomp import config as _cfg
+
+    if _cfg.pallas_enabled():
+        from tpucomp.kernels import cascaded_pallas as _cp
+
+        if _cp.supports(opts, int(data.shape[1])):
+            return _cp.compress(data, lengths, opts)
+    return _compress_xla(data, lengths, opts)
 
 
 @functools.partial(jax.jit, static_argnames=("opts", "out_capacity"))
+def _decompress_xla(comp, comp_sizes, opts: CascadedOpts, out_capacity: int):
+    return jax.vmap(lambda p, s: _decompress_partition(p, s, out_capacity, opts))(
+        comp, comp_sizes
+    )
+
+
 def decompress(comp, comp_sizes, opts: CascadedOpts, out_capacity: int):
     """Batched cascaded decompression.
 
     Returns (data uint8[B, out_capacity], lengths int32[B], statuses
     int32[B]).  Partitions whose stream metadata does not match ``opts``
     (other than the raw fallback) report ERROR_CANNOT_DECOMPRESS.
+
+    Routes to the fused Pallas TPU kernel when enabled and supported.
     """
     opts.validate()
-    return jax.vmap(lambda p, s: _decompress_partition(p, s, out_capacity, opts))(
-        comp, comp_sizes
-    )
+    from tpucomp import config as _cfg
+
+    if _cfg.pallas_enabled():
+        from tpucomp.kernels import cascaded_pallas as _cp
+
+        if _cp.supports_decode(opts, int(comp.shape[1]), out_capacity):
+            return _cp.decompress(comp, comp_sizes, opts, out_capacity)
+    return _decompress_xla(comp, comp_sizes, opts, out_capacity)
 
 
 def detect_opts(comp, comp_sizes, chunk_size: int | None = None) -> CascadedOpts:

@@ -15,7 +15,17 @@ use_pallas_kernels: bool | None = None
 
 # Flipped when the kernels have passed on-hardware validation; keeps the
 # auto mode safe on platforms where Mosaic lowering is untested.
-PALLAS_VALIDATED = False
+# r2: fused cascaded compress+decompress validated byte-identical on a real
+# v5e across layer configs, dtypes, and corrupt streams
+# (scripts/casc_decode_hw.py), enc 2.08 GB/s dec 0.60 GB/s at 17 MB tiles.
+PALLAS_VALIDATED = True
+
+# The standalone bitpack pack/unpack kernels (kernels/bitpack_pallas.py)
+# remain interpret-only: on hardware the compiled pack variant is ~250x
+# slower than the XLA scatter and mismatches (PERF.md §1).  They stay off
+# independently of the master switch; the fused cascaded kernel subsumes
+# their production role.
+BITPACK_STANDALONE_PALLAS = False
 
 
 def pallas_enabled() -> bool:

@@ -728,11 +728,18 @@ def _inverse_schedule_static(nr: int, nd: int):
     return ops
 
 
-def _decode_kernel(lay: _DLayout, size_ref, comp_ref, out_ref):
+def _decode_kernel(lay: _DLayout, size_ref, comp_ref, out_ref, debug_cut: int = 0):
     w, e, k = lay.w, lay.e, lay.k
     ebits = 8 * w
     nr, nd, bp = lay.nr, lay.nd, lay.bp
     from tpucomp.core.types import Status
+
+    def _cut(stage: int, t):
+        """Debug-only Mosaic-lowering bisect: emit ``t`` and stop."""
+        if debug_cut == stage:
+            out_ref[0] = _embed_cols(t.astype(jnp.int32), lay.l_out)
+            return True
+        return False
 
     comp_size = size_ref[pl.program_id(0)]
     end_words = comp_size // 4
@@ -756,8 +763,16 @@ def _decode_kernel(lay: _DLayout, size_ref, comp_ref, out_ref):
     is_fallback = (p_nr == 0) & (p_nd == 0) & (p_bp == 0)
     matches = (p_nr == nr) & (p_nd == nd) & (p_bp == int(bp)) & (p_dt == lay.dtype_code)
 
+    if _cut(1, h0):
+        return
+
     # ---- chunk walk (reference pointer walk; codecs/cascaded.py _walk_chunks)
-    pos = jnp.full(ashape, 8, jnp.int32)
+    # materialized zero (iota >> 30; flat indices < 2^30): a plain splat
+    # leaves pos / lives[0] fully lane+sublane-replicated, and any later
+    # 1-lane slice of a replicated vector crashes Mosaic's
+    # ApplyVectorLayout ("Check failed: limits[i] <= dim(i)")
+    zero_m = lanes.flat_iota(ashape) >> 30
+    pos = zero_m + 8
     offs, lives = [], []
     for _ in range(k):
         word = lanes.select_word(wa, jnp.clip(pos // 4, 0, lay.l_a * SUB - 1))
@@ -769,6 +784,9 @@ def _decode_kernel(lay: _DLayout, size_ref, comp_ref, out_ref):
         lives.append(in_range)
         pos = jnp.where(in_range, _rup(pos + jnp.maximum(total, 4), w), pos)
     end_pos = pos
+
+    if _cut(2, end_pos):
+        return
 
     # ---- phase A: spread chunk streams to static chunk slots -------------
     cid = jnp.full(ashape, -1, jnp.int32)
@@ -786,6 +804,9 @@ def _decode_kernel(lay: _DLayout, size_ref, comp_ref, out_ref):
     )
     slotted = jnp.where(ok_a, slotted, 0)
 
+    if _cut(3, slotted):
+        return
+
     # ---- phase B: static meta extraction per chunk (span dc) -------------
     # per-chunk scalar math happens on the B-shape [SUB, k*dc] (span dc);
     # the slots start one column in, so shift left one column first
@@ -799,9 +820,13 @@ def _decode_kernel(lay: _DLayout, size_ref, comp_ref, out_ref):
         lanes.seg_reduce(jnp.where(dfi == j, slot_t, 0), dspan, "or")
         for j in range(lay.mw)
     ]
+
+    if _cut(4, mvals[0]):
+        return
     cap = lay.in_capacity + 8
+    # unsigned clamp via compare+select: Mosaic has no arith.minui lowering
     blob_sizes = [
-        jnp.minimum(m.astype(jnp.uint32), jnp.uint32(cap)).astype(jnp.int32)
+        jnp.where(m.astype(jnp.uint32) > jnp.uint32(cap), jnp.int32(cap), m)
         for m in mvals[: 2 + nr]
     ]
     # delta firsts (byte-packed at dh_off)
@@ -825,6 +850,9 @@ def _decode_kernel(lay: _DLayout, size_ref, comp_ref, out_ref):
         live_b = jnp.where(sel, _bc_ep(lives[kk].astype(jnp.int32), bshape), live_b)
     end_words_b = _bc_ep(end_words, bshape)
 
+    if _cut(5, chunk_off_b):
+        return
+
     # section offsets relative to base = chunk_off + meta_size
     # (codecs/cascaded.py _decompress_chunk:427-434)
     rle_offsets = [jnp.zeros(bshape, jnp.int32)]
@@ -845,6 +873,9 @@ def _decode_kernel(lay: _DLayout, size_ref, comp_ref, out_ref):
     okc = okc & in_bounds(final_off, fsize)
     for i in range(nr):
         okc = okc & in_bounds(rle_offsets[i], blob_sizes[1 + i])
+
+    if _cut(6, okc):
+        return
 
     # ---- phase C: spread blob streams to per-blob slots ------------------
     cshape = (SUB, lay.l_c)
@@ -874,6 +905,11 @@ def _decode_kernel(lay: _DLayout, size_ref, comp_ref, out_ref):
         return lanes.flat_roll_static(t2, SUB, lay.l_c)
 
     live_c = to_c(live_b) > 0
+
+    if _cut(61, wc):
+        return
+    if _cut(62, live_c):
+        return
     sec = jnp.full(cshape, -1, jnp.int32)
     secstart = jnp.zeros(cshape, jnp.int32)
     secsz = jnp.zeros(cshape, jnp.int32)
@@ -896,12 +932,21 @@ def _decode_kernel(lay: _DLayout, size_ref, comp_ref, out_ref):
         & (j_c < jnp.minimum(secsz, seccap))
         & live_c
     )
+    if _cut(63, secstart + secsz + secbase + seccap + sec):
+        return
+
     tgt_c = SUB * (1 + cid2 * lay.sc2 + secbase) + j_c
+
+    if _cut(64, jnp.where(valid_c, tgt_c, 0)):
+        return
     (blobbed,), ok_c = lanes.butterfly_right(
         [wc], jnp.where(valid_c, tgt_c - cfi, 0), valid_c, lay.l_c,
         nbits=lay.nbits_c,
     )
     blobbed = jnp.where(ok_c, blobbed, 0)
+
+    if _cut(7, blobbed):
+        return
 
     # ---- phase D: per-blob decode into element tiles ---------------------
     # slice each blob's slot per chunk into [SUB, k*ep] tiles (span ep)
@@ -934,6 +979,9 @@ def _decode_kernel(lay: _DLayout, size_ref, comp_ref, out_ref):
     if ebits < 32:
         cur_x = _sext(cur_x, ebits)
     counts_tiles = {}
+
+    if _cut(8, cur_x):
+        return
     for sk, idx in _inverse_schedule_static(nr, nd):
         if sk == "rle" and idx not in counts_tiles:
             ct, _cn = _unpack_blob_tile(
@@ -955,6 +1003,9 @@ def _decode_kernel(lay: _DLayout, size_ref, comp_ref, out_ref):
             cur_x, cur_n = _rle_decode_tile(cur_x, front(counts_tiles[idx]), cur_n, lay.ep)
 
     counts_k = jnp.where(live_ep, jnp.where(okc_ep, cur_n, 0), 0)
+
+    if _cut(9, cur_x):
+        return
     ok_pipe_t = okc_ep | ~live_ep
 
     # ---- partition-level checks ------------------------------------------
@@ -981,6 +1032,9 @@ def _decode_kernel(lay: _DLayout, size_ref, comp_ref, out_ref):
     )
     outx = jnp.where(ok_f, outx, 0)
 
+    if _cut(10, outx):
+        return
+
     # ---- fallback raw path ------------------------------------------------
     oshape = cur_x.shape
     ofi = lanes.flat_iota(oshape)
@@ -1003,16 +1057,20 @@ def _decode_kernel(lay: _DLayout, size_ref, comp_ref, out_ref):
         fbx = _sext(fbx, ebits)
     fb_ok = comp_size >= 8 + n_elems * w
 
+    if _cut(11, fbx):
+        return
+
     # ---- select, mask, status --------------------------------------------
     is_fb = _bc_ep(is_fallback.astype(jnp.int32), oshape) > 0
     out = jnp.where(is_fb, fbx, outx)
     n_elems_o = _bc_ep(n_elems, oshape)
     out = jnp.where(ofi < n_elems_o, out, 0)
-    ok = jnp.where(
-        _bc_ep(is_fallback.astype(jnp.int32), oshape) > 0,
-        _bc_ep(fb_ok.astype(jnp.int32), oshape) > 0,
-        ok_pipe & (_bc_ep(matches.astype(jnp.int32), oshape) > 0),
-    )
+    # boolean algebra, not jnp.where: select_n over bool payloads lowers to
+    # an i8->i1 vector truncation Mosaic rejects ("Unsupported target
+    # bitwidth for truncation")
+    fb_ok_b = _bc_ep(fb_ok.astype(jnp.int32), oshape) > 0
+    match_b = ok_pipe & (_bc_ep(matches.astype(jnp.int32), oshape) > 0)
+    ok = (is_fb & fb_ok_b) | (~is_fb & match_b)
     ok = (
         ok
         & (_bc_ep(hdr_ok.astype(jnp.int32), oshape) > 0)
@@ -1041,8 +1099,17 @@ def _bc_ep(v, shape):
         return jnp.full(shape, v, jnp.int32)
     if v.dtype == jnp.bool_:
         v = v.astype(jnp.int32)
-    col = jnp.max(v[:1, :1], axis=0, keepdims=True)
-    return jax.lax.broadcast_in_dim(col, shape, (0, 1))
+    # every caller passes a whole-tile-uniform tile, so resize by slicing or
+    # a lanes-only [SUB,1]->[SUB,L] broadcast (regroup_scalar's validated
+    # form).  Mosaic rejects a fused (1,1)->(S,L) broadcast ("Broadcast in
+    # both sublanes and lanes") and re-fuses staged broadcast_in_dims.
+    if v.shape == shape:
+        return v
+    # never slice >1 lane here: slicing a lane-replicated vector (e.g. a
+    # comparison of uniform operands) crashes ApplyVectorLayout
+    # ("Check failed: limits[i] <= dim(i)"); a 1-lane slice + lanes-only
+    # broadcast is safe for any layout.
+    return jax.lax.broadcast_in_dim(v[:, :1], shape, (0, 1))
 
 
 def supports_decode(opts, in_capacity: int, out_capacity: int) -> bool:
@@ -1051,8 +1118,12 @@ def supports_decode(opts, in_capacity: int, out_capacity: int) -> bool:
     return out_capacity >= 1
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "out_capacity", "interpret"))
-def decompress(comp, comp_sizes, opts, out_capacity: int, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("opts", "out_capacity", "interpret", "debug_cut")
+)
+def decompress(
+    comp, comp_sizes, opts, out_capacity: int, interpret: bool = False, debug_cut: int = 0
+):
     """Batched fused cascaded decompression on the Pallas path.
 
     comp: uint8[B, CMAX]; comp_sizes: int32[B].  Returns (data uint8[B,
@@ -1084,7 +1155,8 @@ def decompress(comp, comp_sizes, opts, out_capacity: int, interpret: bool = Fals
         ),
     )
     out = pl.pallas_call(
-        functools.partial(_decode_kernel, lay),
+        functools.partial(_decode_kernel, lay, debug_cut=debug_cut),
+        debug=bool(int(__import__("os").environ.get("TPUCOMP_PALLAS_DEBUG", "0"))),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, SUB, lay.l_out), jnp.int32),
         interpret=interpret,

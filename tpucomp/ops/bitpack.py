@@ -85,7 +85,7 @@ def _pack_words_dispatch(u, n, bw, max_words: int, width: int):
     from tpucomp import config as _cfg
 
     e = u.shape[-1]
-    if _cfg.pallas_enabled() and width <= 4 and e % 128 == 0 and max_words <= e:
+    if _cfg.pallas_enabled() and _cfg.BITPACK_STANDALONE_PALLAS and width <= 4 and e % 128 == 0 and max_words <= e:
         import jax as _jax
 
         from tpucomp.kernels import bitpack_pallas as kbp
@@ -210,7 +210,7 @@ def _unpack_words_dispatch(units, bw, out_elements: int):
     tbits = jnp.iinfo(udtype).bits
     from tpucomp import config as _cfg
 
-    if _cfg.pallas_enabled() and tbits <= 32 and out_elements % 128 == 0:
+    if _cfg.pallas_enabled() and _cfg.BITPACK_STANDALONE_PALLAS and tbits <= 32 and out_elements % 128 == 0:
         import jax as _jax
 
         from tpucomp.kernels import bitpack_pallas as kbp
