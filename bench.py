@@ -35,6 +35,28 @@ HBM_GBPS = {
 }
 
 
+def load_corpus(total_bytes: int, seed: int = 0) -> bytes:
+    """Vendored fixed corpus (corpus/mixed_v1.bin.gz, built by
+    scripts/build_corpus.py): a committed Silesia-profile mix (text, source,
+    ELF binary, structured records, redundant DB text, near-random) so the
+    headline number is comparable across rounds.  True Silesia is
+    unreachable (no network); the metric names the corpus truthfully.
+    Repeats the blob if more bytes are requested; falls back to the
+    synthetic mix if the blob is missing."""
+    import gzip
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "corpus", "mixed_v1.bin.gz")
+    if not os.path.exists(path):
+        return synth_corpus(total_bytes, seed)
+    with gzip.open(path, "rb") as f:
+        blob = f.read()
+    if seed:  # decorrelate multi-use: rotate by a seed-dependent offset
+        k = (seed * 1009001) % len(blob)
+        blob = blob[k:] + blob[:k]
+    reps = -(-total_bytes // len(blob))
+    return (blob * reps)[:total_bytes]
+
+
 def synth_corpus(total_bytes: int, seed: int = 0) -> bytes:
     """Deterministic mixed-compressibility corpus (Silesia stand-in)."""
     rng = np.random.default_rng(seed)
@@ -84,7 +106,7 @@ def bench_cascaded(total_mb: int = 64, iters: int = 2, tile: int = 256) -> dict:
     opts = CascadedOpts()  # 4KB internal chunks, INT
     chunk = 64 * 1024  # BASELINE partition size
     total = total_mb * 1024 * 1024
-    corpus = synth_corpus(total)
+    corpus = load_corpus(total)
     b = total // chunk
     tile = min(tile, b)
     b = b // tile * tile
@@ -138,7 +160,7 @@ def bench_lz(codec_name: str, total_mb: int = 8, iters: int = 2, tile: int = 128
 
     chunk = 64 * 1024
     total = total_mb * 1024 * 1024
-    corpus = synth_corpus(total, seed=1)
+    corpus = load_corpus(total, seed=1)
     b = total // chunk
     tile = min(tile, b)
     b = b // tile * tile
@@ -195,7 +217,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": "geomean min(enc,dec) GB/s/chip, cascaded+lz4 64KB chunks "
+                    "metric": "geomean min(enc,dec) GB/s/chip, cascaded+lz4, mixed_v1 corpus (vendored Silesia-profile stand-in), 64KB chunks "
                     f"(cascaded:enc={rc['encode_gbps']:.3f},dec={rc['decode_gbps']:.3f},"
                     f"ratio={rc['ratio']:.2f},ok={rc['roundtrip_ok']} "
                     f"lz4:enc={rl['encode_gbps']:.4f},dec={rl['decode_gbps']:.4f},"
@@ -241,7 +263,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"{label} 64KB-chunk batch min(encode,decode) GB/s/chip "
+                "metric": f"{label} 64KB-chunk batch min(encode,decode) GB/s/chip, mixed_v1 corpus "
                 f"(enc={r['encode_gbps']:.2f} dec={r['decode_gbps']:.2f} "
                 f"ratio={r['ratio']:.2f} ok={r['roundtrip_ok']})",
                 "value": value,
