@@ -1,0 +1,47 @@
+"""Large-chunk validation on hardware: 32 KB - 1 MB chunk round-trips.
+
+The reference supports LZ4 chunks 32 KB-16 MB (include/hipcomp/lz4.h:67-74)
+and cascaded partitions are unbounded.  Validates compress+decompress
+round-trips and memory behavior at 32K/256K/1M chunk sizes.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/large_chunks_hw.py
+"""
+import os, sys, time
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_tpucomp"))
+import jax, numpy as np, jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from bench import load_corpus
+from tpucomp.codecs import lz4, snappy, cascaded
+from tpucomp.core.options import CascadedOpts
+
+print("devices", jax.devices(), flush=True)
+
+for C in (32 * 1024, 256 * 1024, 1024 * 1024):
+    B = max(2, (4 * 1024 * 1024) // C)
+    corpus = load_corpus(B * C, seed=2)
+    arr = np.frombuffer(corpus, np.uint8).reshape(B, C)
+    lens = np.full(B, C, np.int32)
+    lens[-1] = C - 13
+    da, dl = jnp.asarray(arr), jnp.asarray(lens)
+
+    for name, enc, dec in (
+        ("lz4", lambda: lz4.compress(da, dl), lambda c, s: lz4.decompress(c, s, out_capacity=C)),
+        ("snappy", lambda: snappy.compress(da, dl), lambda c, s: snappy.decompress(c, s, out_capacity=C)),
+        ("cascaded", lambda: cascaded.compress(da, dl, CascadedOpts()),
+         lambda c, s: cascaded.decompress(c, s, CascadedOpts(), C)),
+    ):
+        t0 = time.time()
+        try:
+            comp, sizes = enc()
+            jax.device_get(sizes[:2])
+            out, olen, st = dec(comp, sizes)
+            out, olen, st = map(np.asarray, (out, olen, st))
+            ok = (st == 0).all() and (olen == lens).all() and all(
+                (out[i, : lens[i]] == arr[i, : lens[i]]).all() for i in range(B)
+            )
+            r = B * C / float(np.asarray(sizes).sum())
+            print(f"LARGE {name} C={C//1024}KB B={B}: {'OK' if ok else 'FAIL'} ratio {r:.2f} ({time.time()-t0:.0f}s)", flush=True)
+        except Exception as e:
+            print(f"LARGE {name} C={C//1024}KB: ERROR {str(e)[:140]}", flush=True)
+print("DONE", flush=True)

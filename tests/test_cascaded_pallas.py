@@ -6,9 +6,19 @@ transitively pins the Pallas kernels to the reference stream format
 (reference src/CascadedKernels.hiph:766-1058).
 """
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
+
+# The interpret-mode kernels compile into very large XLA:CPU programs;
+# compiling them on top of a full suite's accumulated compilation state
+# intermittently crashes the XLA:CPU backend (SIGABRT/SIGSEGV in
+# backend_compile).  Dropping cached executables first avoids it.
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_compile_state():
+    jax.clear_caches()
+    yield
 
 from tpucomp.codecs import cascaded
 from tpucomp.core.options import CascadedOpts

@@ -319,7 +319,18 @@ def _jit_materialize(comp, seqs, s, total, ok, out_cap):
 
 def decompress(comp, comp_sizes, opts=None, out_capacity: int = 65536):
     """Batched LZ4 decompression.
-    Returns (data uint8[B, out_capacity], lengths int32[B], statuses)."""
+    Returns (data uint8[B, out_capacity], lengths int32[B], statuses).
+
+    Routes to the Pallas TPU kernel (kernels/lz_pallas.py, scalar-core
+    parse + VPU granule copies) when enabled; identical results.
+    """
+    from tpucomp import config as _cfg
+
+    if _cfg.pallas_enabled():
+        from tpucomp.kernels import lz_pallas as _lzp
+
+        if _lzp.supports_decode(out_capacity):
+            return _lzp.decompress(comp, comp_sizes, out_capacity)
     s_max = comp.shape[-1] // 3 + 2
     seqs, s, total, ok = _jit_delimit(comp, comp_sizes, out_capacity, s_max)
     return _jit_materialize(comp, seqs, s, total, ok, out_capacity)
