@@ -10,7 +10,14 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# The XLA:CPU backend intermittently SIGSEGV/SIGABRTs when parallel LLVM
+# codegen compiles this suite's very large programs (interpret-mode Pallas
+# kernels, fused codec pipelines) after accumulated compilation state;
+# single-split codegen avoids the crash.
+if "xla_cpu_parallel_codegen_split_count" not in _flags:
+    _flags += " --xla_cpu_parallel_codegen_split_count=1"
+os.environ["XLA_FLAGS"] = _flags
 
 # In some environments a sitecustomize imports jax at interpreter startup
 # (before this conftest runs), freezing jax_platforms from the original env.

@@ -79,3 +79,50 @@ def test_foreign_streams_and_corruption(rng):
     for i, raw in enumerate(raws):  # foreign streams decode exactly
         assert gs[i] == 0
         np.testing.assert_array_equal(gd[i, : len(raw)], np.frombuffer(raw, np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# compression
+
+
+def test_compress_matches_uncapped_oracle(rng):
+    """The kernel's greedy parse with exact extension IS the sequential
+    oracle; streams must be byte-identical (and hence <= the reference's
+    collision-lossy hash-table output)."""
+    C = 2048
+    rows = [
+        np.repeat(rng.integers(0, 5, C), rng.integers(1, 30, C)).astype(np.uint8)[:C],
+        rng.choice(np.frombuffer(b"the quick brown fox jumps over a dog ", np.uint8), C),
+        rng.integers(0, 256, C, dtype=np.uint8),
+        np.tile(np.frombuffer(b"abc", np.uint8), C // 3 + 1)[:C],
+        np.zeros(C, np.uint8),
+    ]
+    lens = np.array([C, C, C, C - 5, C], np.int32)
+    arr = np.stack(rows)
+    comp, sizes = lzp.compress(jnp.asarray(arr), jnp.asarray(lens), interpret=True)
+    comp, sizes = np.asarray(comp), np.asarray(sizes)
+    for i in range(len(rows)):
+        ref = lz4_compress_oracle(rows[i][: lens[i]].tobytes(), max_match=1 << 30)
+        assert comp[i, : sizes[i]].tobytes() == ref, f"row {i}"
+
+
+def test_compress_tiny_and_empty(rng):
+    C = 512
+    arr = np.zeros((4, C), np.uint8)
+    arr[1, 0] = 7
+    arr[2, :16] = rng.integers(0, 256, 16)
+    arr[3] = rng.integers(0, 256, C)
+    lens = np.array([0, 1, 16, C], np.int32)
+    comp, sizes = lzp.compress(jnp.asarray(arr), jnp.asarray(lens), interpret=True)
+    comp, sizes = np.asarray(comp), np.asarray(sizes)
+    assert sizes[0] == 0
+    for i in range(1, 4):
+        ref = lz4_compress_oracle(arr[i, : lens[i]].tobytes(), max_match=1 << 30)
+        assert comp[i, : sizes[i]].tobytes() == ref, f"row {i}"
+    # round-trip through the Pallas decoder
+    out, olen, st = lzp.decompress(jnp.asarray(comp), jnp.asarray(sizes), C, interpret=True)
+    out, olen, st = map(np.asarray, (out, olen, st))
+    assert (olen == lens).all()
+    for i in range(1, 4):
+        assert st[i] == 0
+        np.testing.assert_array_equal(out[i, : lens[i]], arr[i, : lens[i]])

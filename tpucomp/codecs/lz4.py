@@ -284,7 +284,13 @@ def compress(data, lengths, opts=None):
     match starts/offsets for 2/4-byte types), mirroring the reference's
     typed kernel dispatch (src/lowlevel/LZ4CompressionKernels.hip:185-219);
     streams are valid LZ4 blocks for any setting.
+
+    Routes to the Pallas TPU kernel (kernels/lz_pallas.py, scalar-core
+    greedy parse with exact unbounded match extension) when enabled; the
+    kernel's streams are byte-identical to the uncapped sequential oracle
+    and never larger than this module's block-clamped XLA parse.
     """
+    from tpucomp import config as _cfg
     from tpucomp.core.types import width_of
 
     c = data.shape[-1]
@@ -292,6 +298,11 @@ def compress(data, lengths, opts=None):
     s_max = c // MIN_MATCH + 2
     stride = width_of(opts.data_type) if opts is not None else 1
     lengths = lengths.astype(jnp.int32)
+    if _cfg.pallas_enabled():
+        from tpucomp.kernels import lz_pallas as _lzp
+
+        if _lzp.supports_compress(c):
+            return _lzp.compress(data, lengths, stride=stride)
     mlen, dist, cand = _jit_match(data, lengths, stride)
     ls, ll, ml, off, s = _jit_parse(mlen, dist, cand, lengths, s_max)
     return _jit_emit(data, ls, ll, ml, off, s, lengths, out_max)
