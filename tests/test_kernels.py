@@ -69,14 +69,17 @@ def test_unpack_narrow_element_streams(rng, width):
     np.testing.assert_array_equal(out.astype(udtype), vals)
 
 
-def test_pallas_integration_in_cascaded(rng):
-    """The config flag routes cascaded's bitpack through the Pallas kernels
-    (interpret mode here); outputs must stay bit-identical."""
+def test_pallas_integration_in_cascaded(rng, monkeypatch):
+    """The config flags route the XLA cascaded codec's bitpack through the
+    standalone Pallas kernels (interpret mode here); outputs must stay
+    bit-identical.  The fused cascaded kernel is forced off so the XLA
+    path (which hosts the bitpack dispatch) is the one exercised."""
     import jax.numpy as jnp
 
     from tpucomp import config as tc_config
     from tpucomp.codecs import cascaded as cc
     from tpucomp.core.options import CascadedOpts
+    from tpucomp.kernels import cascaded_pallas as cp
 
     opts = CascadedOpts(chunk_size=512)
     x = np.repeat(rng.integers(0, 30, 200), rng.integers(1, 6, 200))[:256].astype(np.int32)
@@ -86,9 +89,12 @@ def test_pallas_integration_in_cascaded(rng):
 
     comp0, sizes0 = cc.compress(jnp.asarray(data), jnp.asarray(lengths), opts)
     try:
-        tc_config.use_pallas_kernels = True
-        cc.compress.clear_cache()
-        cc.decompress.clear_cache()
+        monkeypatch.setattr(tc_config, "use_pallas_kernels", True)
+        monkeypatch.setattr(tc_config, "BITPACK_STANDALONE_PALLAS", True)
+        monkeypatch.setattr(cp, "supports", lambda *a, **k: False)
+        monkeypatch.setattr(cp, "supports_decode", lambda *a, **k: False)
+        cc._compress_xla.clear_cache()
+        cc._decompress_xla.clear_cache()
         comp1, sizes1 = cc.compress(jnp.asarray(data), jnp.asarray(lengths), opts)
         np.testing.assert_array_equal(np.asarray(sizes1), np.asarray(sizes0))
         np.testing.assert_array_equal(np.asarray(comp1), np.asarray(comp0))
@@ -96,6 +102,5 @@ def test_pallas_integration_in_cascaded(rng):
         assert np.asarray(stats)[0] == 0
         assert np.asarray(out)[0, : np.asarray(lens)[0]].tobytes() == x.tobytes()
     finally:
-        tc_config.use_pallas_kernels = None
-        cc.compress.clear_cache()
-        cc.decompress.clear_cache()
+        cc._compress_xla.clear_cache()
+        cc._decompress_xla.clear_cache()
