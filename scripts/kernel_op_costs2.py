@@ -42,12 +42,14 @@ def bench(name, body_fn, scalar_only=False, unroll=1):
             out_ref[0:8, :] = (x0 if scalar_only else x) + s
 
         vin = jnp.arange(64 * ROWW, dtype=jnp.int32).reshape(64, ROWW)
-        return lambda: pl.pallas_call(
+        call = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((8, ROWW), jnp.int32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )(vin)
+        )
+        jf = jax.jit(lambda v: call(v))
+        return lambda: jf(vin)
 
     try:
         t1 = run(mk, N1)

@@ -81,6 +81,41 @@ def test_foreign_streams_and_corruption(rng):
         np.testing.assert_array_equal(gd[i, : len(raw)], np.frombuffer(raw, np.uint8))
 
 
+def test_decode_fill_periods_and_window_edges(rng):
+    """Targets the v2 granule machinery: periodic fills in every tier
+    (splat 1/2/4, word-aligned, odd, >2048), matches straddling the 4KB
+    head-window boundary, and flush-exact output sizes."""
+    C = 16384
+    cases = []
+    for per in (1, 2, 4, 16, 37, 513, 1024, 2048, 2049, 3000):
+        pat = rng.integers(0, 256, per, dtype=np.uint8).tobytes()
+        cases.append((pat * (C // per + 1))[:C])
+    # literal run ending exactly at the window boundary, then a short match
+    x = bytearray(rng.integers(0, 256, C, dtype=np.uint8).tobytes())
+    x[4096 : 4096 + 64] = x[64 : 64 + 64]  # offset-4032 match near boundary
+    x[8190 : 8190 + 40] = x[100 : 100 + 40]  # match straddling row 16
+    cases.append(bytes(x))
+    # output exactly one window / two windows
+    cases.append(bytes([9]) * 4096 + b"")
+    CMAX = 20000
+    comps, csizes, raws = [], [], []
+    for raw in cases:
+        c = lz4_compress_oracle(raw, max_match=1 << 30)
+        assert len(c) <= CMAX
+        comps.append(np.frombuffer(c.ljust(CMAX, b"\0"), np.uint8))
+        csizes.append(len(c))
+        raws.append(raw)
+    comp = jnp.asarray(np.stack(comps))
+    sizes = jnp.asarray(np.array(csizes, np.int32))
+    gd, gl, gs = map(np.asarray, lzp.decompress(comp, sizes, C, interpret=True))
+    for i, raw in enumerate(raws):
+        assert gs[i] == 0, f"case {i}"
+        assert gl[i] == len(raw), f"case {i}"
+        np.testing.assert_array_equal(
+            gd[i, : len(raw)], np.frombuffer(raw, np.uint8), err_msg=f"case {i}"
+        )
+
+
 # ---------------------------------------------------------------------------
 # compression
 

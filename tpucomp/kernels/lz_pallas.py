@@ -5,25 +5,34 @@ TPU-native counterpart of the reference's warp-cooperative decompressor
 per chunk; the scalar core plays lane 0's role (sequential token parse over
 an SMEM-resident copy of the stream, ~ns per step instead of the ~19us
 per-step floor of the dense-XLA batched while loop), and the VPU plays the
-cooperative-copy role (<=512-byte word-vector granules instead of warp
-copies, reference coopCopyNoOverlap/Repeat/Overlap :520-555).
+cooperative-copy role (reference coopCopyNoOverlap/Repeat/Overlap :520-555)
+in up-to-4KB (8,128)-word-tile granules.
 
-Memory plan per chunk:
-  - the compressed stream twice: as u32 words in VMEM [RC, 128] (one row =
-    512 B) for vector literal reads, and flat in SMEM for the scalar parser
-    (the reference's BufferControl shared-memory window, :353-518, is not
-    needed: SMEM holds the whole stream)
-  - output builds through a HEAD-row (2 KB) register tile whose last row is
-    the current write row; completed rows flush to the VMEM output tile
-    with one dynamic-sublane store each, so nothing read-modify-writes VMEM
-  - match sources: bytes younger than the flushed rows come from the head
-    tile by rolls; older bytes come from the flushed VMEM rows; straddling
-    reads shrink the granule to the boundary; self-overlapping copies
-    (offset < granule) use log-doubling period fills (coopCopyRepeat)
+Cost model (measured in-kernel on v5e, scripts/kernel_op_costs*.py): loop
+iterations, dynamic-sublane VMEM reads/writes, sublane rolls/gathers,
+selects and shifts are all ~0-6 ns; *lane-crossing* moves (pltpu.roll on
+the lane axis, take_along_axis axis=1) are ~75 ns each, static or dynamic.
+The kernel is therefore organized to spend O(1) lane ops per granule,
+regardless of granule size:
 
-State machine (lax.while_loop): each iteration either parses the next
-sequence (scalar) or moves one granule of pending literal/match bytes
-(vector), so all loop-body work is statically bounded.  Corruption checks
+  - a "window read" materializes 4 KB of a byte stream at an arbitrary
+    byte offset as one (8,128) u32 tile: one dynamic 16-row VMEM read
+    (free), one dynamic + one static lane roll for word alignment, and
+    elementwise shifts for the byte-in-word part (_read_win / _align16)
+  - the output builds through a 4 KB (8,128) head-window register tile
+    covering bytes [head_lo, head_lo+4096); full windows flush to the VMEM
+    output with one dynamic 8-row store; match sources inside the window
+    use a modular tile rotation (_rot_tile), older bytes use window reads
+    of the flushed output
+  - sources are read directly at *output* alignment (window read at
+    src - h), so splicing is a pure mask/select
+  - self-overlapping matches (offset < granule) build a periodic fill
+    tile: offsets 1/2/4 by scalar extract + multiply splat (~60 ns),
+    others by word-space doubling rotations (coopCopyRepeat's log trick)
+
+State machine (lax.while_loop): each iteration parses the next sequence if
+nothing is pending (scalar core) and moves up to two granules (literal
+and/or match), so short sequences cost one iteration.  Corruption checks
 mirror codecs/lz4.py _delimit (OOB literals/offsets/extension bytes,
 output-capacity overflow) and produce per-chunk statuses without crashing
 (reference OOB_CHECKING, src/LZ4Kernels.hiph:1004-1096).
@@ -140,17 +149,173 @@ def _head_row(head, r):
 
 
 # ---------------------------------------------------------------------------
+# 4KB (8,128)-tile byte-stream machinery (row-major: flat word j at
+# (j >> 7, j & 127); flat byte fb = 4*j + b, little-endian within words).
+
+TB = 4096  # head-window bytes ( == one (8,128) u32 tile)
+TW = 1024  # head-window words
+LEAD = 8  # leading zero rows padded onto stream refs (negative-offset slack)
+# granule cap: the 16-row window covers 4096+515 bytes past the word-aligned
+# read base, so a full window's worth of bytes is always available
+GMAX = TB
+
+
+def _fwi(shape):
+    """Flat word iota (row-major)."""
+    return _si(shape) * ROWW + _li(shape)
+
+
+def _align16(t16, kw, kb):
+    """(8,128) u32 tile whose flat byte j = t16's flat byte (4*kw + kb + j).
+
+    t16: (16,128) u32; kw traced in [0,128); kb traced in [0,4).
+    Cost: one dynamic + one static lane roll."""
+    a = pltpu.roll(t16, (-kw) % ROWW, axis=1)
+    b = pltpu.roll(a, ROWW - 1, axis=1)  # == roll of t16 by -(kw+1)
+    li = _li((8, ROWW))
+    w0 = jnp.where(li < ROWW - kw, a[0:8], a[1:9])
+    w1 = jnp.where(li < ROWW - 1 - kw, b[0:8], b[1:9])
+    sh = 8 * _u(kb)
+    return jnp.where(kb > 0, (_u(w0) >> sh) | (_u(w1) << (32 - sh)), _u(w0))
+
+
+def _read_win(get16, off_b):
+    """(8,128) u32: flat byte j = padded-stream byte (off_b + j).
+
+    ``get16(r0)`` returns 16 consecutive u32 rows starting at row r0
+    (callers pad refs so r0+16 is always in bounds).  off_b traced >= 0."""
+    r0 = off_b >> 9
+    t16 = get16(r0)
+    rem = off_b - r0 * 512
+    return _align16(t16, rem >> 2, off_b & 3)
+
+
+def _rot_tile(t, d):
+    """(8,128) u32: flat byte j = t's flat byte ((j + d) mod 4096).
+
+    d traced in [0, 4096).  Cost: one dynamic + one static lane roll."""
+    kw = d >> 2
+    ks = kw >> 7
+    kl = kw & (ROWW - 1)
+    a = pltpu.roll(t, (-kl) % ROWW, axis=1)
+    a0 = pltpu.roll(a, (-ks) % 8, axis=0)
+    a1 = pltpu.roll(a, (-(ks + 1)) % 8, axis=0)
+    li = _li((8, ROWW))
+    w0 = jnp.where(li < ROWW - kl, a0, a1)
+    b = pltpu.roll(a, ROWW - 1, axis=1)  # one more word along the stream
+    b0 = pltpu.roll(b, (-ks) % 8, axis=0)
+    b1 = pltpu.roll(b, (-(ks + 1)) % 8, axis=0)
+    w1 = jnp.where(li < ROWW - 1 - kl, b0, b1)
+    kb = d & 3
+    sh = 8 * _u(kb)
+    return jnp.where(kb > 0, (_u(w0) >> sh) | (_u(w1) << (32 - sh)), _u(w0))
+
+
+def _rot_words(t, dw):
+    """(8,128) u32: flat word j = t's flat word ((j + dw) mod 1024).
+
+    Word-aligned variant of _rot_tile: one dynamic lane roll only."""
+    ks = dw >> 7
+    kl = dw & (ROWW - 1)
+    a = pltpu.roll(t, (-kl) % ROWW, axis=1)
+    a0 = pltpu.roll(a, (-ks) % 8, axis=0)
+    a1 = pltpu.roll(a, (-(ks + 1)) % 8, axis=0)
+    return jnp.where(_li((8, ROWW)) < ROWW - kl, a0, a1)
+
+
+def _byte_mask_tile(lo, n):
+    """(8,128) u32 mask with flat bytes [lo, lo+n) set."""
+    b0 = _fwi((8, ROWW)) * 4
+    a = jnp.clip(lo - b0, 0, 4)
+    b = jnp.clip(lo + n - b0, 0, 4)
+    nb = b - a
+    m = jnp.where(
+        nb >= 4,
+        jnp.uint32(0xFFFFFFFF),
+        ((jnp.uint32(1) << (8 * _u(nb))) - 1) << (8 * _u(a)),
+    )
+    return jnp.where(nb > 0, m, jnp.uint32(0))
+
+
+def _extract_word(get_row, wi):
+    """Scalar i32 = flat word ``wi`` of a row-major u32/i32 word stream
+    (one dynamic row read + one masked-lane reduction, ~30 ns).
+
+    Replaces scalar-core SMEM loads: staging a stream into SMEM costs a
+    ~100 us fixed-latency DMA per grid cell on this hardware
+    (scripts/kernel_op_costs8.py), which dominated whole chunks."""
+    row = get_row(wi >> 7).astype(jnp.int32)
+    return jnp.sum(
+        jnp.where(_li(row.shape) == (wi & (ROWW - 1)), row, 0), dtype=jnp.int32
+    )
+
+
+def _first_diff_tile(a, b):
+    """Index of the first differing byte of two (8,128) u32 byte streams
+    (TB if equal).  Two cross-lane reductions (~100 ns)."""
+    x = (a ^ b).astype(jnp.int32)
+    fwi = _fwi((8, ROWW))
+    lm = jnp.min(jnp.where(x != 0, fwi, TW))
+    w = _u(jnp.sum(jnp.where(fwi == jnp.minimum(lm, TW - 1), x, 0)))
+    bidx = (
+        jnp.where((w & 0xFF) == 0, 1, 0)
+        + jnp.where((w & 0xFFFF) == 0, 1, 0)
+        + jnp.where((w & 0xFFFFFF) == 0, 1, 0)
+    )
+    return jnp.where(lm >= TW, TB, lm * 4 + bidx.astype(jnp.int32))
+
+
+def _fill_tile(P, per):
+    """Periodic fill: P holds pattern bytes [0, per) (zeros elsewhere
+    within mask scope); returns (8,128) whose flat byte x = pattern[x %
+    per] for all x in [0, 4096).  per traced in [1, 4096)."""
+
+    def splat():
+        # per in {1,2,4}: one scalar extract + multiply, alignment-free
+        w = _u(jnp.sum(jnp.where(_fwi((8, ROWW)) == 0, P.astype(jnp.int32), 0)))
+        pat1 = (w & 0xFF) * jnp.uint32(0x01010101)
+        pat2 = (w & 0xFFFF) * jnp.uint32(0x00010001)
+        pat = jnp.where(per == 1, pat1, jnp.where(per == 2, pat2, w))
+        return jnp.zeros((8, ROWW), jnp.uint32) + pat
+
+    def general():
+        Pm = P & _byte_mask_tile(0, per)
+        # extend the pattern to a word-aligned length; each extension is a
+        # modular right-rotation masked to its exact target range [f, 2f),
+        # so wrapped source bytes can never leak in
+        P1 = Pm | (_rot_tile(Pm, (TB - per) % TB) & _byte_mask_tile(per, per))
+        f1 = 2 * per
+        P2 = P1 | (_rot_tile(P1, (TB - f1 % TB) % TB) & _byte_mask_tile(f1, f1))
+        half = per % 4 == 2
+        Pw = jnp.where(per % 4 == 0, Pm, jnp.where(half, P1, P2))
+        filled = jnp.where(per % 4 == 0, per, jnp.where(half, 2 * per, 4 * per))
+        # word-space doubling to 4KB (one dynamic lane roll per step)
+        for _ in range(10):
+            ext = _rot_words(Pw, (TW - (filled >> 2) % TW) % TW)
+            ext = ext & _byte_mask_tile(filled, filled)
+            Pw = Pw | jnp.where(filled < TB, ext, jnp.uint32(0))
+            filled = filled * 2
+        return Pw
+
+    return jax.lax.cond((per == 1) | (per == 2) | (per == 4), splat, general)
+
+
+# ---------------------------------------------------------------------------
 
 
 def _lz4_decode_kernel(
-    rc: int, ro: int, out_cap: int, size_ref, wv_ref, out_ref, ws_ref, sem
+    rc: int, rw: int, rt: int, r_res: int, out_cap: int,
+    size_ref, wv_ref, out_ref, ws_ref, sem
 ):
+    """rc: stream data rows; rw: padded stream rows (LEAD + rc + 16);
+    rt: total output rows; r_res: result-row index in the output tile."""
     comp_len = size_ref[pl.program_id(0)]
     nsw = rc * ROWW  # SMEM words available
 
-    # stage the stream into SMEM for the scalar parser (one DMA; the
-    # reference's BufferControl window is unnecessary at this size)
-    cp = pltpu.make_async_copy(wv_ref.at[0], ws_ref, sem)
+    # stage the stream into SMEM for the scalar parser (one DMA; scalar
+    # SMEM loads are ~18 ns vs ~40 ns for vector-extract reads, and the
+    # parser issues ~6 per sequence)
+    cp = pltpu.make_async_copy(wv_ref.at[0, pl.ds(LEAD, rc)], ws_ref, sem)
     cp.start()
     cp.wait()
 
@@ -159,18 +324,85 @@ def _lz4_decode_kernel(
         w = ws_ref[qc >> 7, qc & (ROWW - 1)]
         return (w >> (8 * (q & 3))) & 0xFF
 
-    def vmem_row(ref, rows):
-        def get(r):
-            return _u(ref[0, pl.ds(jnp.clip(r, 0, rows - 1), 1), :])
+    def get16(ref):
+        def get(r0):
+            return _u(ref[0, pl.ds(r0, 16), :])
 
         return get
 
     # carry: p, o, rem_lit, lit_src, rem_m, m_off, last_seen, ok, head, head_lo
-    # head holds bytes [head_lo, head_lo + HEAD*ROWB); write row is the last:
-    # row_start = head_lo + (HEAD-1)*ROWB <= o < row_start + ROWB.
+    # head is a 4KB window over output bytes [head_lo, head_lo + TB);
+    # o is the write position, head_lo <= o <= head_lo + TB.
     def cond(c):
         p, o, rem_lit, lit_src, rem_m, m_off, last_seen, ok, head, head_lo = c
         return ok & ((rem_lit > 0) | (rem_m > 0) | ~last_seen)
+
+    def move_granule(o, rem_lit, lit_src, rem_m, m_off, ok, head, head_lo):
+        h = o - head_lo
+        space = TB - h
+        do_lit = rem_lit > 0
+        pend = (rem_lit > 0) | (rem_m > 0)
+        gmax = jnp.where(do_lit, rem_lit, rem_m)
+        g = jnp.minimum(jnp.minimum(gmax, space), GMAX)
+        src = jnp.where(do_lit, lit_src, o - m_off)
+        from_head = ~do_lit & (src >= head_lo)
+        # shrink a match granule to the window boundary if it straddles
+        g = jnp.where(
+            ~do_lit & (src < head_lo) & (src + g > head_lo), head_lo - src, g
+        )
+        need_fill = ~do_lit & (m_off < g)
+        g = jnp.where(ok & pend & (g > 0), g, 0)
+
+        def direct():
+            # source read directly at output alignment: window at src - h
+            def lit():
+                return _read_win(get16(wv_ref), src - h + LEAD * ROWB)
+
+            def mat():
+                def mhead():
+                    return _rot_tile(head, (src - head_lo - h) % TB)
+
+                def mvmem():
+                    return _read_win(get16(out_ref), src - h + LEAD * ROWB)
+
+                return jax.lax.cond(from_head, mhead, mvmem)
+
+            return jax.lax.cond(do_lit, lit, mat)
+
+        def filled():
+            # src-aligned pattern read -> periodic fill -> out alignment
+            def phead():
+                return _rot_tile(head, (src - head_lo) % TB)
+
+            def pvmem():
+                return _read_win(get16(out_ref), src + LEAD * ROWB)
+
+            P = jax.lax.cond(from_head, phead, pvmem)
+            F = _fill_tile(P, jnp.maximum(m_off, 1))
+            return _rot_tile(F, (TB - h) % TB)
+
+        W = jax.lax.cond(need_fill, filled, direct)
+        m = _byte_mask_tile(h, g)
+        head = (head & ~m) | (W & m)
+
+        o = o + g
+        rem_lit = jnp.where(do_lit, rem_lit - g, rem_lit)
+        lit_src = jnp.where(do_lit, lit_src + g, lit_src)
+        rem_m = jnp.where(do_lit, rem_m, rem_m - g)
+
+        # flush a completed window (8-row aligned store; head_lo is a
+        # multiple of TB so the row index is a multiple of 8)
+        def flush(args):
+            head, head_lo = args
+            r = LEAD + (head_lo >> 9)
+            out_ref[0, pl.ds(r, 8), :] = head
+            return jnp.zeros((8, ROWW), jnp.uint32), head_lo + TB
+
+        head, head_lo = jax.lax.cond(
+            o - head_lo >= TB, lambda: flush((head, head_lo)),
+            lambda: (head, head_lo),
+        )
+        return o, rem_lit, lit_src, rem_m, ok, head, head_lo
 
     def body(c):
         p, o, rem_lit, lit_src, rem_m, m_off, last_seen, ok, head, head_lo = c
@@ -178,15 +410,25 @@ def _lz4_decode_kernel(
 
         # ---- a) parse next sequence (scalar core) ------------------------
         def lsic(q0):
-            def w_cond(s):
-                q, acc = s
-                return (byte_at(q) == 255) & (q < comp_len)
+            # vectorized 255-run scan: one 4KB window read + first-non-FF
+            # reduction replaces the byte-at-a-time inner loop (measured
+            # ~0.75us per inner iteration -- it dominated bulk decode)
+            ff = jnp.zeros((8, ROWW), jnp.uint32) + jnp.uint32(0xFFFFFFFF)
 
-            def w_body(s):
-                q, acc = s
-                return q + 1, acc + 255
+            def step(c):
+                q, acc, go = c
+                W = _read_win(get16(wv_ref), q + LEAD * ROWB)
+                d_raw = _first_diff_tile(W, ff)
+                d = jnp.minimum(d_raw, jnp.maximum(comp_len - q, 0))
+                return (
+                    jnp.asarray(q + d, jnp.int32),
+                    jnp.asarray(acc + 255 * d, jnp.int32),
+                    jnp.asarray((d_raw >= TB) & (q + d < comp_len), jnp.bool_),
+                )
 
-            q, acc = jax.lax.while_loop(w_cond, w_body, (q0, jnp.int32(0)))
+            q, acc, _ = jax.lax.while_loop(
+                lambda c: c[2], step, (q0, jnp.int32(0), jnp.bool_(True))
+            )
             return jnp.asarray(q + 1, jnp.int32), jnp.asarray(acc + byte_at(q), jnp.int32)
 
         def parse():
@@ -228,71 +470,12 @@ def _lz4_decode_kernel(
         last_seen = jnp.where(no_pending, nlast | last_seen, last_seen)
         ok = ok & pok
 
-        # ---- b) move one granule (VPU) ------------------------------------
-        row_start = head_lo + (HEAD - 1) * ROWB
-        h = o - row_start  # write offset in the head's last row, [0, ROWB)
-        space = ROWB - h
-
-        do_lit = rem_lit > 0
-        gmax = jnp.where(do_lit, rem_lit, rem_m)
-        g = jnp.minimum(gmax, space)
-        src = jnp.where(do_lit, lit_src, o - m_off)
-        # match reads from head when src >= head_lo, else from flushed VMEM
-        # rows; shrink granule to the head_lo boundary if it would straddle
-        from_head = ~do_lit & (src >= head_lo)
-        g = jnp.where(
-            ~do_lit & (src < head_lo) & (src + g > head_lo), head_lo - src, g
+        # ---- b) move up to two granules (literal then match, typically) --
+        o, rem_lit, lit_src, rem_m, ok, head, head_lo = move_granule(
+            o, rem_lit, lit_src, rem_m, m_off, ok, head, head_lo
         )
-        g = jnp.where(ok & (g > 0), g, 0)
-
-        def read_lit():
-            return _read512(vmem_row(wv_ref, rc), src)
-
-        def read_hist():
-            def from_h():
-                return _read512(lambda r: _head_row(head, jnp.clip(r, 0, HEAD - 1)), src - head_lo)
-
-            def from_v():
-                return _read512(vmem_row(out_ref, ro), jnp.maximum(src, 0))
-
-            v = jax.lax.cond(from_head, from_h, from_v)
-            per = jnp.minimum(m_off, ROWB)
-
-            def fill():
-                vz = v & _byte_mask_row(0, per)
-                return _period_fill(vz, per)
-
-            return jax.lax.cond(m_off < ROWB, fill, lambda: v)
-
-        v = jax.lax.cond(do_lit, read_lit, read_hist)
-
-        # splice bytes [0, g) of v into the head's last row at byte h
-        lastrow = _head_row(head, HEAD - 1)
-        placed = _shift_bytes_right(v, h)
-        m = _byte_mask_row(h, g)
-        newrow = (lastrow & ~m) | (placed & m)
-        head = jnp.where(_si((HEAD, ROWW)) == HEAD - 1, newrow, head)
-
-        o = o + g
-        rem_lit = jnp.where(do_lit, rem_lit - g, rem_lit)
-        lit_src = jnp.where(do_lit, lit_src + g, lit_src)
-        rem_m = jnp.where(do_lit, rem_m, rem_m - g)
-
-        # ---- c) flush a completed row -------------------------------------
-        def flush(args):
-            head, head_lo = args
-            r = (head_lo + (HEAD - 1) * ROWB) // ROWB
-
-            @pl.when((r >= 0) & (r < ro))
-            def _():
-                out_ref[0, pl.ds(r, 1), :] = _head_row(head, HEAD - 1).astype(jnp.uint32)
-
-            head = pltpu.roll(head, -1 % HEAD, axis=0)  # discard oldest row
-            head = jnp.where(_si((HEAD, ROWW)) == HEAD - 1, jnp.uint32(0), head)
-            return head, head_lo + ROWB
-
-        head, head_lo = jax.lax.cond(
-            o - row_start >= ROWB, lambda: flush((head, head_lo)), lambda: (head, head_lo)
+        o, rem_lit, lit_src, rem_m, ok, head, head_lo = move_granule(
+            o, rem_lit, lit_src, rem_m, m_off, ok, head, head_lo
         )
 
         return (p2, o, rem_lit, lit_src, rem_m, m_off, last_seen, ok, head, head_lo)
@@ -306,24 +489,22 @@ def _lz4_decode_kernel(
         jnp.int32(0),
         comp_len <= 0,
         comp_len >= 0,
-        jnp.zeros((HEAD, ROWW), jnp.uint32),
-        jnp.int32(-(HEAD - 1) * ROWB),
+        jnp.zeros((8, ROWW), jnp.uint32),
+        jnp.int32(0),
     )
     p, o, _, _, _, _, _, ok, head, head_lo = jax.lax.while_loop(cond, body, init)
 
-    # final flush of the partial write row
-    r = (head_lo + (HEAD - 1) * ROWB) // ROWB
-
-    @pl.when(ok & (o > head_lo + (HEAD - 1) * ROWB) & (r >= 0) & (r < ro))
+    # final flush of the partial window
+    @pl.when(ok & (o > head_lo))
     def _():
-        out_ref[0, pl.ds(r, 1), :] = _head_row(head, HEAD - 1).astype(jnp.uint32)
+        out_ref[0, pl.ds(LEAD + (head_lo >> 9), 8), :] = head
 
-    # length and status ride an extra trailing row of the output tile
+    # length and status ride a dedicated result row past the flush range
     li = _li((1, ROWW))
     lengths = jnp.where(ok, o, 0)
     status = jnp.where(ok, int(Status.SUCCESS), int(Status.ERROR_CANNOT_DECOMPRESS))
     resrow = jnp.where(li == 0, lengths, jnp.where(li == 1, status, 0))
-    out_ref[0, ro : ro + 1, :] = _u(resrow)
+    out_ref[0, r_res : r_res + 1, :] = _u(resrow)
 
 
 # ---------------------------------------------------------------------------
@@ -345,38 +526,42 @@ def decompress(comp, comp_sizes, out_capacity: int, interpret: bool = False):
     from tpucomp.utils import bits
 
     b, cmax = comp.shape
-    # row counts padded to 8 sublanes: an unaligned-sublane VMEM->SMEM DMA
-    # hard-faults the TPU worker (observed at rc=49/129; rc=40 fine)
+    # stream data rows padded to 8 sublanes: an unaligned-sublane VMEM->SMEM
+    # DMA hard-faults the TPU worker (observed at rc=49/129; rc=40 fine)
     rc = _rup(_cdiv(cmax, ROWB), 8)
+    rw = LEAD + rc + 16  # window-read slack: reads reach r0 + 16 <= rw
     ro = _cdiv(out_capacity, ROWB)
-    pad = rc * ROWB - cmax
-    cw = comp
-    if pad:
-        cw = jnp.concatenate([comp, jnp.zeros((b, pad), jnp.uint8)], axis=1)
-    wv = bits.bytes_to_units_le(cw, 4).astype(jnp.int32).reshape(b, rc, ROWW)
+    r_res = LEAD + _rup(ro, 8) + 16
+    rt = _rup(r_res + 1, 8)
+    pad = rw * ROWB - cmax - LEAD * ROWB
+    lead = jnp.zeros((b, LEAD * ROWB), jnp.uint8)
+    cw = jnp.concatenate([lead, comp, jnp.zeros((b, pad), jnp.uint8)], axis=1)
+    wv = bits.bytes_to_units_le(cw, 4).astype(jnp.int32).reshape(b, rw, ROWW)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, rc, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rw, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, _rup(ro + 1, 8), ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, rt, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[pltpu.SMEM((rc, ROWW), jnp.int32), pltpu.SemaphoreType.DMA],
     )
     out = pl.pallas_call(
-        functools.partial(_lz4_decode_kernel, rc, ro, out_capacity),
+        functools.partial(_lz4_decode_kernel, rc, rw, rt, r_res, out_capacity),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, _rup(ro + 1, 8), ROWW), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((b, rt, ROWW), jnp.uint32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
     )(comp_sizes.astype(jnp.int32), wv)
 
-    lengths = out[:, ro, 0].astype(jnp.int32)
-    statuses = out[:, ro, 1].astype(jnp.int32)
-    data = bits.units_to_bytes_le(out[:, :ro].reshape(b, ro * ROWW))[:, :out_capacity]
+    lengths = out[:, r_res, 0].astype(jnp.int32)
+    statuses = out[:, r_res, 1].astype(jnp.int32)
+    data = bits.units_to_bytes_le(
+        out[:, LEAD : LEAD + ro].reshape(b, ro * ROWW)
+    )[:, :out_capacity]
     pos = jnp.arange(out_capacity, dtype=jnp.int32)[None, :]
     good = (statuses == int(Status.SUCCESS))[:, None] & (pos < lengths[:, None])
     data = jnp.where(good, data, 0).astype(jnp.uint8)
@@ -466,101 +651,64 @@ def _first_diff(a, b):
     return jnp.where(lmin >= ROWW, 512, lmin * 4 + bidx.astype(jnp.int32))
 
 
+def _field_tile(h, bi0, b0, b_last, flen, b1=None):
+    """(8,128) u32 tile carrying an LZ4 header/tail field at flat bytes
+    [h, ...): byte with field index bi (= flat_byte - h + bi0) takes value
+    b0 at bi==0, b1 at bi==1 (when given), b_last at bi==flen-1, else 255
+    (LSIC filler).  Pure selects -- no lane-crossing ops."""
+    fwi = _fwi((8, ROWW))
+    words = jnp.zeros((8, ROWW), jnp.int32)
+    for t in range(4):
+        bi = (fwi * 4 + t) - h + bi0
+        v = jnp.where(bi == flen - 1, b_last, 255)
+        if b1 is not None:
+            v = jnp.where(bi == 1, b1, v)
+        v = jnp.where(bi == 0, b0, v)
+        words = words | ((v & 0xFF) << (8 * t))
+    return _u(words)
+
+
 def _lz4_encode_kernel(
-    rd: int, rt: int, ro: int, size_ref, wv_ref, nmp_ref, dist_ref,
-    out_ref, wnmp_ref, wdist_ref, sems
+    rd: int, rt: int, ro: int, r_res: int, size_ref, wv_ref, nmp_ref, dist_ref,
+    out_ref
 ):
     n = size_ref[pl.program_id(0)]
-    data_row = None
 
-    def vrow(ref, rows):
-        def get(r):
-            return _u(ref[0, pl.ds(jnp.clip(r, 0, rows - 1), 1), :])
+    def get16(ref):
+        def get(r0):
+            return _u(ref[0, pl.ds(r0, 16), :])
 
         return get
 
-    read_data = lambda src: _read512(vrow(wv_ref, rd), jnp.maximum(src, 0))
+    read_data = lambda off_b: _read_win(get16(wv_ref), off_b + LEAD * ROWB)
+
+    def tbl_at(ref, x):
+        # direct VMEM extract: the SMEM window + refill DMA this replaces
+        # cost ~100 us fixed latency per DMA (scripts/kernel_op_costs8.py)
+        e = jnp.clip(x, 0, rt * ROWW - 1)
+        return _extract_word(
+            lambda r: ref[0, pl.ds(jnp.clip(r, 0, rt - 1), 1), :], e
+        )
 
     # carry: p(anchor), o, q, off, mlen, llen, hdr_rem, lit_rem, tail_rem,
-    #        ext_on, is_final, done, head, head_lo, win_base
+    #        ext_on, is_final, done, head, head_lo
     def cond(c):
         return ~c[11]
 
     def body(c):
         (p, o, q, off, mlen, llen, hdr_rem, lit_rem, tail_rem,
-         ext_on, is_final, done, head, head_lo, win_base) = c
-
-        # ---- extension branch --------------------------------------------
-        def ext_branch():
-            a = read_data(q + mlen)
-            b = read_data(q + mlen - off)
-            d = _first_diff(a, b)
-            limit = n - 5 - q
-            m2 = jnp.minimum(mlen + d, limit)
-            still = (d >= 512) & (m2 < limit)
-            # on completion, stage the header emission
-            llen2 = q - p
-            hdr2 = 1 + _lsic_nb(llen2)
-            tail2 = 2 + _lsic_nb(m2 - 4)
-            i32 = lambda v: jnp.asarray(v, jnp.int32)
-            return (
-                i32(m2),
-                i32(jnp.where(still, llen, llen2)),
-                i32(jnp.where(still, hdr_rem, hdr2)),
-                i32(jnp.where(still, lit_rem, llen2)),
-                i32(jnp.where(still, tail_rem, tail2)),
-                jnp.asarray(still, jnp.bool_),
-            )
-
-        def no_ext():
-            i32 = lambda v: jnp.asarray(v, jnp.int32)
-            return (
-                i32(mlen), i32(llen), i32(hdr_rem), i32(lit_rem), i32(tail_rem),
-                jnp.asarray(ext_on, jnp.bool_),
-            )
-
-        mlen, llen, hdr_rem, lit_rem, tail_rem, ext_on = jax.lax.cond(
-            ext_on & ~done, ext_branch, no_ext
-        )
+         ext_on, is_final, done, head, head_lo) = c
 
         # ---- parse branch (idle: nothing pending) -------------------------
-        idle = ~ext_on & (hdr_rem == 0) & (lit_rem == 0) & (tail_rem == 0) & ~done
+        idle = (
+            ~ext_on & (hdr_rem == 0) & (lit_rem == 0) & (tail_rem == 0) & ~done
+        )
 
-        def refill(base):
-            r0 = jnp.clip(base >> 7, 0, rt - WINR)
-            cp1 = pltpu.make_async_copy(
-                nmp_ref.at[0, pl.ds(r0, WINR), :], wnmp_ref, sems.at[0]
-            )
-            cp2 = pltpu.make_async_copy(
-                dist_ref.at[0, pl.ds(r0, WINR), :], wdist_ref, sems.at[1]
-            )
-            cp1.start()
-            cp2.start()
-            cp1.wait()
-            cp2.wait()
-            return r0 * 128
-
-        def win_at(ref, base, x):
-            e = jnp.clip(x - base, 0, WIN - 1)
-            return ref[e >> 7, e & (ROWW - 1)]
-
-        def parse(args):
-            head, win_base = args
-
-            def ensure(base, x):
-                need = (base < 0) | (x >= base + WIN) | (x < base)
-                return jax.lax.cond(
-                    need,
-                    lambda: jnp.asarray(refill(x & ~1023), jnp.int32),
-                    lambda: jnp.asarray(base, jnp.int32),
-                )
-
-            wb = ensure(win_base, p)
-            q2 = win_at(wnmp_ref, wb, p)
+        def parse():
+            q2 = tbl_at(nmp_ref, p)
             fin = q2 >= jnp.minimum(_SENT, n - 12)
             q2c = jnp.where(fin, n, q2)
-            wb = jax.lax.cond(fin, lambda: wb, lambda: ensure(wb, q2c))
-            off2 = jnp.where(fin, 1, win_at(wdist_ref, wb, q2c))
+            off2 = jnp.where(fin, 1, tbl_at(dist_ref, q2c))
             # final: emit the tail literal run [p, n)
             lf = n - p
             hdrf = 1 + _lsic_nb(lf)
@@ -575,111 +723,141 @@ def _lz4_encode_kernel(
                 i32(tail_rem),
                 jnp.asarray(~fin, jnp.bool_),
                 jnp.asarray(fin, jnp.bool_),
-                i32(wb),
             )
 
-        def no_parse(args):
+        def no_parse():
             i32 = lambda v: jnp.asarray(v, jnp.int32)
             return (
                 i32(q), i32(off), i32(mlen), i32(llen), i32(hdr_rem),
                 i32(lit_rem), i32(tail_rem), jnp.asarray(ext_on, jnp.bool_),
-                jnp.asarray(is_final, jnp.bool_), i32(args[1]),
+                jnp.asarray(is_final, jnp.bool_),
             )
 
-        q, off, mlen, llen, hdr_rem, lit_rem, tail_rem, ext_on, is_final, win_base = (
-            jax.lax.cond(idle, parse, no_parse, (head, win_base))
+        q, off, mlen, llen, hdr_rem, lit_rem, tail_rem, ext_on, is_final = (
+            jax.lax.cond(idle, parse, no_parse)
         )
 
-        # ---- emission: one granule from header / literals / tail ----------
-        row_start = head_lo + (HEAD - 1) * ROWB
-        h = o - row_start
-        space = ROWB - h
+        # ---- extension (4KB window compares; runs right after its parse) --
+        def ext_round(mlen, llen, hdr_rem, lit_rem, tail_rem, ext_on):
+            def ext_branch():
+                a = read_data(q + mlen)
+                b = read_data(q + mlen - off)
+                d = _first_diff_tile(a, b)
+                limit = n - 5 - q
+                m2 = jnp.minimum(mlen + d, limit)
+                still = (d >= TB) & (m2 < limit)
+                llen2 = q - p
+                hdr2 = 1 + _lsic_nb(llen2)
+                tail2 = 2 + _lsic_nb(m2 - 4)
+                i32 = lambda v: jnp.asarray(v, jnp.int32)
+                return (
+                    i32(m2),
+                    i32(jnp.where(still, llen, llen2)),
+                    i32(jnp.where(still, hdr_rem, hdr2)),
+                    i32(jnp.where(still, lit_rem, llen2)),
+                    i32(jnp.where(still, tail_rem, tail2)),
+                    jnp.asarray(still, jnp.bool_),
+                )
 
-        do_hdr = hdr_rem > 0
-        do_lit = ~do_hdr & (lit_rem > 0)
-        do_tail = ~do_hdr & ~do_lit & (tail_rem > 0)
+            def no_ext():
+                i32 = lambda v: jnp.asarray(v, jnp.int32)
+                return (
+                    i32(mlen), i32(llen), i32(hdr_rem), i32(lit_rem),
+                    i32(tail_rem), jnp.asarray(ext_on, jnp.bool_),
+                )
 
-        def hdr_vec():
-            tok_m = jnp.where(is_final, 0, jnp.minimum(mlen - 4, 15))
-            token = (jnp.minimum(llen, 15) << 4) | tok_m
-            hl = 1 + _lsic_nb(llen)
-            v = _lsic_vec([token], llen, hl)
-            return _shift_bytes_left(v, hl - hdr_rem), jnp.asarray(hdr_rem, jnp.int32)
+            return jax.lax.cond(ext_on & ~done, ext_branch, no_ext)
 
-        def tail_vec():
-            tl = 2 + _lsic_nb(mlen - 4)
-            v = _lsic_vec([off & 0xFF, (off >> 8) & 0xFF], mlen - 4, tl)
-            return _shift_bytes_left(v, tl - tail_rem), jnp.asarray(tail_rem, jnp.int32)
-
-        def lit_vec():
-            src = p + (llen - lit_rem)
-            return read_data(src), jnp.asarray(lit_rem, jnp.int32)
-
-        v, rem = jax.lax.cond(
-            do_hdr, hdr_vec, lambda: jax.lax.cond(do_lit, lit_vec, tail_vec)
+        mlen, llen, hdr_rem, lit_rem, tail_rem, ext_on = ext_round(
+            mlen, llen, hdr_rem, lit_rem, tail_rem, ext_on
         )
-        g = jnp.minimum(jnp.minimum(rem, space), ROWB)
-        emitting = (do_hdr | do_lit | do_tail) & ~done & ~ext_on
-        g = jnp.where(emitting, g, 0)
 
-        lastrow = _head_row(head, HEAD - 1)
-        placed = _shift_bytes_right(v, h)
-        m = _byte_mask_row(h, g)
-        newrow = (lastrow & ~m) | (placed & m)
-        head = jnp.where(_si((HEAD, ROWW)) == HEAD - 1, newrow, head)
-        o = o + g
+        pend_before = (hdr_rem > 0) | (lit_rem > 0) | (tail_rem > 0)
 
-        hdr_rem = jnp.where(emitting & do_hdr, hdr_rem - g, hdr_rem)
-        lit_rem = jnp.where(emitting & do_lit, lit_rem - g, lit_rem)
-        tail_rem = jnp.where(emitting & do_tail, tail_rem - g, tail_rem)
+        # ---- emission: up to three granules (header, literals, tail) -----
+        def emit_step(o, hdr_rem, lit_rem, tail_rem, head, head_lo):
+            h = o - head_lo
+            space = TB - h
+            do_hdr = hdr_rem > 0
+            do_lit = ~do_hdr & (lit_rem > 0)
+            do_tail = ~do_hdr & ~do_lit & (tail_rem > 0)
+            emitting = (do_hdr | do_lit | do_tail) & ~done & ~ext_on
 
-        # sequence completion
-        seq_done = emitting & ~do_hdr & (lit_rem == 0) & (
-            (do_tail & (tail_rem == 0)) | (is_final & do_lit) | (is_final & (llen == 0))
-        )
-        # a final sequence with llen == 0 still finishes after its header
-        fin_hdr_only = emitting & do_hdr & (hdr_rem == 0) & is_final & (llen == 0)
-        done = done | (seq_done & is_final) | fin_hdr_only
-        p = jnp.where(seq_done & ~is_final, q + mlen, p)
+            def hdr_tile():
+                tok_m = jnp.where(is_final, 0, jnp.minimum(mlen - 4, 15))
+                token = (jnp.minimum(llen, 15) << 4) | tok_m
+                hl = 1 + _lsic_nb(llen)
+                rem_b = llen - 15 - 255 * (hl - 2)
+                return (
+                    _field_tile(h, hl - hdr_rem, token, rem_b, hl),
+                    jnp.asarray(hdr_rem, jnp.int32),
+                )
 
-        # ---- flush a completed row ----------------------------------------
-        def flush(args):
-            head, head_lo = args
-            r = (head_lo + (HEAD - 1) * ROWB) // ROWB
+            def tail_tile():
+                tl = 2 + _lsic_nb(mlen - 4)
+                mrem = (mlen - 4) - 15 - 255 * (tl - 3)
+                return (
+                    _field_tile(
+                        h, tl - tail_rem, off & 0xFF, mrem, tl, b1=(off >> 8) & 0xFF
+                    ),
+                    jnp.asarray(tail_rem, jnp.int32),
+                )
 
-            @pl.when((r >= 0) & (r < ro))
-            def _():
-                out_ref[0, pl.ds(r, 1), :] = _head_row(head, HEAD - 1).astype(jnp.uint32)
+            def lit_tile():
+                src = p + (llen - lit_rem)
+                return read_data(src - h), jnp.asarray(lit_rem, jnp.int32)
 
-            head = pltpu.roll(head, -1 % HEAD, axis=0)
-            head = jnp.where(_si((HEAD, ROWW)) == HEAD - 1, jnp.uint32(0), head)
-            return head, head_lo + ROWB
+            V, rem = jax.lax.cond(
+                do_hdr, hdr_tile, lambda: jax.lax.cond(do_lit, lit_tile, tail_tile)
+            )
+            g = jnp.minimum(jnp.minimum(rem, space), GMAX)
+            g = jnp.where(emitting & (g > 0), g, 0)
+            m = _byte_mask_tile(h, g)
+            head = (head & ~m) | (V & m)
+            o = o + g
+            hdr_rem = jnp.where(do_hdr, hdr_rem - g, hdr_rem)
+            lit_rem = jnp.where(do_lit, lit_rem - g, lit_rem)
+            tail_rem = jnp.where(do_tail, tail_rem - g, tail_rem)
 
-        head, head_lo = jax.lax.cond(
-            o - row_start >= ROWB, lambda: flush((head, head_lo)), lambda: (head, head_lo)
-        )
+            def flush(args):
+                head, head_lo = args
+                out_ref[0, pl.ds(LEAD + (head_lo >> 9), 8), :] = head
+                return jnp.zeros((8, ROWW), jnp.uint32), head_lo + TB
+
+            head, head_lo = jax.lax.cond(
+                o - head_lo >= TB, lambda: flush((head, head_lo)),
+                lambda: (head, head_lo),
+            )
+            return o, hdr_rem, lit_rem, tail_rem, head, head_lo
+
+        for _ in range(3):
+            o, hdr_rem, lit_rem, tail_rem, head, head_lo = emit_step(
+                o, hdr_rem, lit_rem, tail_rem, head, head_lo
+            )
+
+        pend_after = (hdr_rem > 0) | (lit_rem > 0) | (tail_rem > 0)
+        completed = pend_before & ~pend_after & ~ext_on & ~done
+        done = done | (completed & is_final)
+        p = jnp.where(completed & ~is_final, q + mlen, p)
 
         return (p, o, q, off, mlen, llen, hdr_rem, lit_rem, tail_rem,
-                ext_on, is_final, done, head, head_lo, win_base)
+                ext_on, is_final, done, head, head_lo)
 
     init = (
         jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(1), jnp.int32(0),
         jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
         jnp.bool_(False), jnp.bool_(False), n <= 0,
-        jnp.zeros((HEAD, ROWW), jnp.uint32), jnp.int32(-(HEAD - 1) * ROWB),
-        jnp.int32(-1),
+        jnp.zeros((8, ROWW), jnp.uint32), jnp.int32(0),
     )
     out = jax.lax.while_loop(cond, body, init)
     o, head, head_lo = out[1], out[12], out[13]
 
-    r = (head_lo + (HEAD - 1) * ROWB) // ROWB
-
-    @pl.when((o > head_lo + (HEAD - 1) * ROWB) & (r >= 0) & (r < ro))
+    @pl.when(o > head_lo)
     def _():
-        out_ref[0, pl.ds(r, 1), :] = _head_row(head, HEAD - 1).astype(jnp.uint32)
+        out_ref[0, pl.ds(LEAD + (head_lo >> 9), 8), :] = head
 
     li = _li((1, ROWW))
-    out_ref[0, ro : ro + 1, :] = _u(jnp.where(li == 0, o, 0))
+    out_ref[0, r_res : r_res + 1, :] = _u(jnp.where(li == 0, o, 0))
 
 
 def supports_compress(capacity: int) -> bool:
@@ -702,7 +880,10 @@ def compress(data, lengths, stride: int = 1, interpret: bool = False):
     lengths = lengths.astype(jnp.int32)
     out_max = lz4_max_compressed_chunk_size(c)
     ro = _cdiv(out_max, ROWB)
+    r_res = LEAD + _rup(ro, 8) + 16
+    rto = _rup(r_res + 1, 8)
     rd = _rup(_cdiv(c, ROWB), 8)
+    rw = LEAD + rd + 16  # window-read slack
 
     # exact nearest-previous-occurrence candidate tables (XLA sorts)
     def tables(d, nn):
@@ -729,39 +910,35 @@ def compress(data, lengths, stride: int = 1, interpret: bool = False):
     nmp_t = pad_tbl(nmp, _SENT)
     dist_t = pad_tbl(dist, 1)
 
-    padd = rd * ROWB - c
-    dd = data
-    if padd:
-        dd = jnp.concatenate([data, jnp.zeros((b, padd), jnp.uint8)], axis=1)
-    wv = bits.bytes_to_units_le(dd, 4).astype(jnp.int32).reshape(b, rd, ROWW)
+    padd = rw * ROWB - c - LEAD * ROWB
+    lead = jnp.zeros((b, LEAD * ROWB), jnp.uint8)
+    dd = jnp.concatenate([lead, data, jnp.zeros((b, padd), jnp.uint8)], axis=1)
+    wv = bits.bytes_to_units_le(dd, 4).astype(jnp.int32).reshape(b, rw, ROWW)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, rd, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rw, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rt, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rt, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, _rup(ro + 1, 8), ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, rto, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.SMEM((WINR, ROWW), jnp.int32),
-            pltpu.SMEM((WINR, ROWW), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
     )
     out = pl.pallas_call(
-        functools.partial(_lz4_encode_kernel, rd, rt, ro),
+        functools.partial(_lz4_encode_kernel, rd, rt, ro, r_res),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, _rup(ro + 1, 8), ROWW), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((b, rto, ROWW), jnp.uint32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
     )(lengths, wv, nmp_t, dist_t)
 
-    sizes = out[:, ro, 0].astype(jnp.int32)
-    comp = bits.units_to_bytes_le(out[:, :ro].reshape(b, ro * ROWW))[:, :out_max]
+    sizes = out[:, r_res, 0].astype(jnp.int32)
+    comp = bits.units_to_bytes_le(
+        out[:, LEAD : LEAD + ro].reshape(b, ro * ROWW)
+    )[:, :out_max]
     pos = jnp.arange(out_max, dtype=jnp.int32)[None, :]
     comp = jnp.where(pos < sizes[:, None], comp, 0).astype(jnp.uint8)
     return comp, sizes
