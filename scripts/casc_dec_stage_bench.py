@@ -1,0 +1,51 @@
+"""Stage-bisect timing of the fused cascaded Pallas DECODER on hardware
+using its debug_cut knob (cut=N stops after stage N).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/casc_dec_stage_bench.py
+"""
+import os, time
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_tpucomp"))
+import jax, numpy as np, jax.numpy as jnp
+from tpucomp.core.options import CascadedOpts
+from tpucomp.codecs import cascaded
+from tpucomp.kernels import cascaded_pallas as cp
+
+print("devices", jax.devices(), flush=True)
+rng = np.random.default_rng(0)
+C = 65536
+B = 256  # 16 MB per call (production tile)
+opts = CascadedOpts()
+
+raw = np.repeat(
+    rng.integers(0, 50, C * B // 4), rng.integers(1, 9, C * B // 4)
+).astype(np.int32).tobytes()[: B * C]
+arr = np.frombuffer(raw, np.uint8).reshape(B, C).copy()
+lens = np.full(B, C, np.int32)
+da, dl = jnp.asarray(arr), jnp.asarray(lens)
+comp, sizes = cascaded.compress(da, dl, opts)
+jax.device_get(sizes[:2])
+mb = B * C / 1e6
+print(f"compressed to {float(np.asarray(sizes).sum())/1e6:.1f} MB", flush=True)
+
+
+def timeit(name, fn, reps=4):
+    out = fn()
+    jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[:2])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[:2])
+    dt = (time.perf_counter() - t0) / reps
+    print(f"DECSTAGE {name}: {dt*1e3:8.2f} ms for {mb:.0f} MB -> {mb/1e3/dt:6.3f} GB/s", flush=True)
+    return dt
+
+
+prev = 0.0
+for cut in [1, 2, 3, 4, 5, 6, 61, 62, 63, 64, 7, 8, 0]:
+    try:
+        dt = timeit(f"cut={cut}", lambda cut=cut: cp.decompress(comp, sizes, opts, C, debug_cut=cut))
+    except Exception as e:
+        msg = str(e).splitlines()
+        key = next((l for l in msg if "Mosaic" in l or "Not implemented" in l), msg[0] if msg else "?")
+        print(f"DECSTAGE cut={cut}: FAIL {key[:130]}", flush=True)
+print("DONE", flush=True)

@@ -173,3 +173,25 @@ def test_decompress_edge_partitions(rng):
     lens = np.array([0, 3, 8192, 8], np.int32)
     comp, sizes = cascaded.compress(jnp.asarray(arr), jnp.asarray(lens), opts)
     _assert_decode_identical(opts, np.asarray(comp), np.asarray(sizes), 8192)
+
+
+def test_decode_multi_partition_blocks(rng):
+    """gp>1 packs several partitions per grid cell (lane-sliced); outputs
+    must match the gp=1 path exactly, including the ragged tail."""
+    import jax.numpy as jnp
+
+    from tpucomp.codecs import cascaded
+    from tpucomp.core.options import CascadedOpts
+    from tpucomp.kernels import cascaded_pallas as cp
+
+    opts = CascadedOpts()
+    C = 8192
+    raw = np.repeat(rng.integers(0, 30, 3 * C), rng.integers(1, 7, 3 * C))
+    raw = raw.astype(np.int32).tobytes()[: 3 * C]
+    arr = np.frombuffer(raw, np.uint8).reshape(3, C).copy()
+    lens = np.array([C, C - 8, C], np.int32)
+    comp, sizes = cascaded.compress(jnp.asarray(arr), jnp.asarray(lens), opts)
+    ref = cp.decompress(comp, sizes, opts, C, interpret=True, gp=1)
+    got = cp.decompress(comp, sizes, opts, C, interpret=True, gp=2)
+    for name, r, g in zip(("data", "len", "status"), ref, got):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r), err_msg=name)

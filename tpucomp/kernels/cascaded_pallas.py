@@ -633,7 +633,12 @@ def _delta_decode_tile(d, first, n, span: int, ebits: int):
 
 def _rle_decode_tile(vals, counts, num_runs, span: int):
     """Inverse RLE per group: expand runs.  Matches ops/rle.py rle_decode
-    (zero-count runs write nothing, as the reference)."""
+    (zero-count runs write nothing, as the reference).
+
+    The compaction butterfly and the forward fill take run-time stage
+    bounds: zero-count runs are rare (compaction distance is usually 0,
+    skipping every stage) and the fill only needs to reach the longest
+    run (often far below the group span)."""
     fi = lanes.flat_iota(vals.shape) % (span * SUB)
     c = jnp.where(fi < num_runs, counts, 0)
     inc = lanes.seg_cumsum(c, span)
@@ -641,8 +646,9 @@ def _rle_decode_tile(vals, counts, num_runs, span: int):
     starts = inc - c
     nz = (fi < num_runs) & (c > 0)
     rank = lanes.seg_cumsum(nz.astype(jnp.int32), span, exclusive=True)
+    comp_dist = jnp.where(nz, fi - rank, 0)
     (v2, s2), ok = lanes.butterfly_left(
-        [vals, starts], jnp.where(nz, fi - rank, 0), nz, span
+        [vals, starts], comp_dist, nz, span, max_dist=jnp.max(comp_dist)
     )
     # clamp corrupt run starts to the group so expansion cannot contaminate
     # neighbouring chunks (the XLA path's per-chunk vmap isolates them; any
@@ -652,7 +658,7 @@ def _rle_decode_tile(vals, counts, num_runs, span: int):
     (v3,), ok3 = lanes.butterfly_right(
         [v2], jnp.where(ok, s2 - fi, 0), ok, span
     )
-    x = lanes.ffill(v3, ok3, span)
+    x = lanes.ffill(v3, ok3, span, max_gap=jnp.max(c) - 1)
     x = jnp.where(fi < total, x, 0)
     return x, total
 
@@ -728,30 +734,49 @@ def _inverse_schedule_static(nr: int, nd: int):
     return ops
 
 
-def _decode_kernel(lay: _DLayout, size_ref, comp_ref, out_ref, debug_cut: int = 0):
+def _decode_kernel(lay: _DLayout, gp: int, size_ref, comp_ref, out_ref, debug_cut: int = 0):
+    """Decodes ``gp`` partitions per grid cell (packed along lanes: partition
+    p occupies lanes [p*l_inw, (p+1)*l_inw) of the input block and
+    [p*l_out, (p+1)*l_out) of the output block).  Multi-partition blocks
+    amortize the per-grid-cell overhead (scripts/casc_cell_overhead.py)."""
+    for p in range(gp):
+        _decode_one(lay, gp, p, size_ref, comp_ref, out_ref, debug_cut)
+
+
+def _decode_one(lay: _DLayout, gp: int, p: int, size_ref, comp_ref, out_ref, debug_cut: int = 0):
     w, e, k = lay.w, lay.e, lay.k
     ebits = 8 * w
     nr, nd, bp = lay.nr, lay.nd, lay.bp
     from tpucomp.core.types import Status
 
+    in0 = p * lay.l_inw
+    out0 = p * lay.l_out
+
+    def _store(t):
+        out_ref[0, :, out0 : out0 + lay.l_out] = t
+
     def _cut(stage: int, t):
         """Debug-only Mosaic-lowering bisect: emit ``t`` and stop."""
         if debug_cut == stage:
-            out_ref[0] = _embed_cols(t.astype(jnp.int32), lay.l_out)
+            _store(_embed_cols(t.astype(jnp.int32), lay.l_out))
             return True
         return False
 
-    comp_size = size_ref[pl.program_id(0)]
+    comp_size = size_ref[pl.program_id(0) * gp + p]
     end_words = comp_size // 4
 
-    words_in = comp_ref[0].astype(jnp.int32)
+    words_in = comp_ref[0][:, in0 : in0 + lay.l_inw].astype(jnp.int32)
 
-    # ---- partition header -------------------------------------------------
+
+    # ---- partition header: two static scalar VMEM loads --------------------
+    # (the word stream is column-major: word j sits at (j % SUB, j // SUB),
+    # so header words 0 and 1 are at static positions; a traced-index scalar
+    # VMEM load is not lowerable, but static ones are)
     ashape = (SUB, lay.l_a)
     wa = _embed_cols(words_in, lay.l_a)
     afi = lanes.flat_iota(ashape)
-    h0 = lanes.seg_reduce(jnp.where(afi == 0, wa, 0), lay.l_a, "or")
-    h1 = lanes.seg_reduce(jnp.where(afi == 1, wa, 0), lay.l_a, "or")
+    h0 = comp_ref[0, 0, in0].astype(jnp.int32)
+    h1 = comp_ref[0, 1, in0].astype(jnp.int32)
     p_nr = h0 & 0xFF
     p_nd = (h0 >> 8) & 0xFF
     p_bp = (h0 >> 16) & 0xFF
@@ -763,19 +788,30 @@ def _decode_kernel(lay: _DLayout, size_ref, comp_ref, out_ref, debug_cut: int = 
     is_fallback = (p_nr == 0) & (p_nd == 0) & (p_bp == 0)
     matches = (p_nr == nr) & (p_nd == nd) & (p_bp == int(bp)) & (p_dt == lay.dtype_code)
 
-    if _cut(1, h0):
+    # materialized zero (iota >> 30; flat indices < 2^30): a plain splat
+    # leaves a value fully lane+sublane-replicated, and any later 1-lane
+    # slice of a replicated vector crashes Mosaic's ApplyVectorLayout
+    zero_m = lanes.flat_iota(ashape) >> 30
+
+    if _cut(1, zero_m + h0):
         return
 
     # ---- chunk walk (reference pointer walk; codecs/cascaded.py _walk_chunks)
-    # materialized zero (iota >> 30; flat indices < 2^30): a plain splat
-    # leaves pos / lives[0] fully lane+sublane-replicated, and any later
-    # 1-lane slice of a replicated vector crashes Mosaic's
-    # ApplyVectorLayout ("Check failed: limits[i] <= dim(i)")
-    zero_m = lanes.flat_iota(ashape) >> 30
-    pos = zero_m + 8
+    # scalar state; each step extracts one stream word by a traced lane
+    # roll + static column slice + tiny sublane reduction (the previous
+    # whole-tile select_word reductions dominated the kernel's prologue)
+    def word_at(pw):
+        l = pw // SUB
+        s = pw - l * SUB
+        rolled = pltpu.roll(words_in, (-l) % lay.l_inw, axis=1)
+        col = rolled[:, 0:1]
+        si = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
+        return jnp.sum(jnp.where(si == s, col, 0), dtype=jnp.int32)
+
+    pos = jnp.int32(8)
     offs, lives = [], []
     for _ in range(k):
-        word = lanes.select_word(wa, jnp.clip(pos // 4, 0, lay.l_a * SUB - 1))
+        word = word_at(jnp.clip(pos // 4, 0, lay.l_inw * SUB - 1))
         total = jnp.where(
             word.astype(jnp.uint32) > jnp.uint32(lay.walk_clamp), lay.walk_clamp, word
         )
@@ -785,7 +821,7 @@ def _decode_kernel(lay: _DLayout, size_ref, comp_ref, out_ref, debug_cut: int = 
         pos = jnp.where(in_range, _rup(pos + jnp.maximum(total, 4), w), pos)
     end_pos = pos
 
-    if _cut(2, end_pos):
+    if _cut(2, zero_m + end_pos):
         return
 
     # ---- phase A: spread chunk streams to static chunk slots -------------
@@ -1090,13 +1126,16 @@ def _decode_kernel(lay: _DLayout, size_ref, comp_ref, out_ref, debug_cut: int = 
     last = lay.l_out - 1
     out = jnp.where((li_o == last) & (si_o == 0), _bc_ep(out_bytes, fshape), out)
     out = jnp.where((li_o == last) & (si_o == 1), _bc_ep(status, fshape), out)
-    out_ref[0] = out
+    _store(out)
 
 
 def _bc_ep(v, shape):
     """Broadcast a whole-tile-uniform tile or scalar to ``shape``."""
     if not hasattr(v, "shape") or v.shape == ():
-        return jnp.full(shape, v, jnp.int32)
+        # materialized zero: a plain splat is lane+sublane-replicated and
+        # later slices of it crash Mosaic's ApplyVectorLayout
+        zero_m = lanes.flat_iota(shape) >> 30
+        return zero_m + jnp.asarray(v, jnp.int32)
     if v.dtype == jnp.bool_:
         v = v.astype(jnp.int32)
     # every caller passes a whole-tile-uniform tile, so resize by slicing or
@@ -1119,10 +1158,11 @@ def supports_decode(opts, in_capacity: int, out_capacity: int) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("opts", "out_capacity", "interpret", "debug_cut")
+    jax.jit, static_argnames=("opts", "out_capacity", "interpret", "debug_cut", "gp")
 )
 def decompress(
-    comp, comp_sizes, opts, out_capacity: int, interpret: bool = False, debug_cut: int = 0
+    comp, comp_sizes, opts, out_capacity: int, interpret: bool = False,
+    debug_cut: int = 0, gp: int | None = None
 ):
     """Batched fused cascaded decompression on the Pallas path.
 
@@ -1135,34 +1175,60 @@ def decompress(
     b, cmax = comp.shape
     lay = _DLayout(opts, cmax, out_capacity)
 
+    # gp packs several partitions per grid cell (lane-sliced blocks).
+    # Measured on v5e: gp=4 is slightly SLOWER than gp=1 (32.4 vs 28.4 ms
+    # per 17 MB) and compiles 4x slower, so per-cell overhead is not where
+    # the time goes; the default stays 1 and the knob remains for
+    # experiments (correctness is pinned by test_decode_multi_partition_blocks)
+    if gp is None:
+        gp = 1
+    bp_ = _rup(b, gp)
     pad = lay.l_inw * SUB * 4 - cmax
     cw = comp
     if pad:
         cw = jnp.concatenate([comp, jnp.zeros((b, pad), jnp.uint8)], axis=1)
+    if bp_ != b:
+        cw = jnp.concatenate(
+            [cw, jnp.zeros((bp_ - b, cw.shape[1]), jnp.uint8)], axis=0
+        )
+        comp_sizes = jnp.concatenate(
+            [comp_sizes, jnp.zeros((bp_ - b,), comp_sizes.dtype)]
+        )
     words = bits.bytes_to_units_le(cw, 4).astype(jnp.uint32)
-    words_cm = words.reshape(b, lay.l_inw, SUB).transpose(0, 2, 1)
+    words_cm = (
+        words.reshape(bp_ // gp, gp, lay.l_inw, SUB)
+        .transpose(0, 3, 1, 2)
+        .reshape(bp_ // gp, SUB, gp * lay.l_inw)
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
+        grid=(bp_ // gp,),
         in_specs=[
             pl.BlockSpec(
-                (1, SUB, lay.l_inw), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, SUB, gp * lay.l_inw),
+                lambda i, s: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             )
         ],
         out_specs=pl.BlockSpec(
-            (1, SUB, lay.l_out), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, SUB, gp * lay.l_out), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
         ),
     )
     out = pl.pallas_call(
-        functools.partial(_decode_kernel, lay, debug_cut=debug_cut),
+        functools.partial(_decode_kernel, lay, gp, debug_cut=debug_cut),
         debug=bool(int(__import__("os").environ.get("TPUCOMP_PALLAS_DEBUG", "0"))),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, SUB, lay.l_out), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((bp_ // gp, SUB, gp * lay.l_out), jnp.int32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
     )(comp_sizes.astype(jnp.int32), words_cm)
 
+    out = (
+        out.reshape(bp_ // gp, SUB, gp, lay.l_out)
+        .transpose(0, 2, 1, 3)
+        .reshape(bp_, SUB, lay.l_out)[:b]
+    )
     last = lay.l_out - 1
     out_bytes = out[:, 0, last].astype(jnp.int32)
     statuses = out[:, 1, last].astype(jnp.int32)

@@ -165,7 +165,8 @@ def seg_reduce(x, span: int, op: str):
     return acc
 
 
-def butterfly_left(payloads, dist, valid, span: int, nbits: int | None = None):
+def butterfly_left(payloads, dist, valid, span: int, nbits: int | None = None,
+                   max_dist=None):
     """Move element at flat position i to i - dist[i] (within its group).
 
     Targets must be distinct with nondecreasing ``dist`` per group
@@ -175,20 +176,40 @@ def butterfly_left(payloads, dist, valid, span: int, nbits: int | None = None):
     dist and valid are fused into one state tensor (-1 = empty slot) so each
     stage rolls len(payloads) + 1 tensors and derives both the incoming and
     the vacated masks from the single rolled state.
+
+    ``max_dist``: optional traced scalar upper bound on dist; stages whose
+    step exceeds it are skipped at run time (a lax.cond per stage) -- since
+    state only ever decreases, no element can carry bit s once
+    max_dist < 2^s.  Worth it when dists are usually tiny (e.g. run
+    compaction with no empty runs).
     """
     total = span * payloads[0].shape[0]
     nbits = nbits or _ilog2_ceil(total)
     state = jnp.where(valid, dist.astype(jnp.int32), -1)
     for s in range(nbits):
         step = 1 << s
-        rolled = flat_roll_static(state, -step, span)
-        incoming = rolled >= step  # moving element: bit s of its dist is set
-        incoming &= (rolled >> s) & 1 == 1
-        moving_away = (state >= step) & ((state >> s) & 1 == 1)
-        payloads = [
-            jnp.where(incoming, flat_roll_static(p, -step, span), p) for p in payloads
-        ]
-        state = jnp.where(incoming, rolled - step, jnp.where(moving_away, -1, state))
+
+        def stage(args, step=step, s=s):
+            payloads, state = args
+            rolled = flat_roll_static(state, -step, span)
+            incoming = rolled >= step
+            incoming &= (rolled >> s) & 1 == 1
+            moving_away = (state >= step) & ((state >> s) & 1 == 1)
+            payloads = [
+                jnp.where(incoming, flat_roll_static(p, -step, span), p)
+                for p in payloads
+            ]
+            state = jnp.where(
+                incoming, rolled - step, jnp.where(moving_away, -1, state)
+            )
+            return payloads, state
+
+        if max_dist is None:
+            payloads, state = stage((payloads, state))
+        else:
+            payloads, state = jax.lax.cond(
+                max_dist >= step, stage, lambda a: a, (payloads, state)
+            )
     return payloads, state >= 0
 
 
@@ -328,18 +349,37 @@ def div_dyn(x, d, nbits: int):
     return q
 
 
-def ffill(vals, is_src, span: int):
+def ffill(vals, is_src, span: int, max_gap=None):
     """Forward fill within groups over column-major order: each slot takes
-    the value of the nearest source at or before it (log passes)."""
+    the value of the nearest source at or before it (log passes).
+
+    ``max_gap``: optional traced scalar bound on the largest distance any
+    slot is from its source; later passes are skipped at run time once
+    every slot within max_gap is filled (fill reach doubles per pass)."""
     total = span * vals.shape[0]
     fi = flat_iota(vals.shape) % total
+    # the skip-cond carries masks as i32: Mosaic rejects scf.if regions
+    # yielding i1 vectors
+    src_i = is_src.astype(jnp.int32)
     step = 1
     while step < total:
-        v_sh = flat_roll_static(vals, step, span)
-        f_sh = flat_roll_static(is_src, step, span)
-        take = ~is_src & f_sh & (fi >= step)
-        vals = jnp.where(take, v_sh, vals)
-        is_src = is_src | (f_sh & (fi >= step))
+
+        def fpass(args, step=step):
+            vals, src_i = args
+            is_src = src_i != 0
+            v_sh = flat_roll_static(vals, step, span)
+            f_sh = flat_roll_static(is_src, step, span)
+            take = ~is_src & f_sh & (fi >= step)
+            vals = jnp.where(take, v_sh, vals)
+            is_src = is_src | (f_sh & (fi >= step))
+            return vals, is_src.astype(jnp.int32)
+
+        if max_gap is None:
+            vals, src_i = fpass((vals, src_i))
+        else:
+            vals, src_i = jax.lax.cond(
+                max_gap >= step, fpass, lambda a: a, (vals, src_i)
+            )
         step <<= 1
     return vals
 

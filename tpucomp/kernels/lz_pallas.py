@@ -252,17 +252,16 @@ def _extract_word(get_row, wi):
 
 def _first_diff_tile(a, b):
     """Index of the first differing byte of two (8,128) u32 byte streams
-    (TB if equal).  Two cross-lane reductions (~100 ns)."""
+    (TB if equal).  One cross-lane min reduction: the byte-in-word index is
+    folded into each word's candidate before reducing."""
     x = (a ^ b).astype(jnp.int32)
-    fwi = _fwi((8, ROWW))
-    lm = jnp.min(jnp.where(x != 0, fwi, TW))
-    w = _u(jnp.sum(jnp.where(fwi == jnp.minimum(lm, TW - 1), x, 0)))
-    bidx = (
-        jnp.where((w & 0xFF) == 0, 1, 0)
-        + jnp.where((w & 0xFFFF) == 0, 1, 0)
-        + jnp.where((w & 0xFFFFFF) == 0, 1, 0)
+    tzb = (
+        jnp.where((x & 0xFF) == 0, 1, 0)
+        + jnp.where((x & 0xFFFF) == 0, 1, 0)
+        + jnp.where((x & 0xFFFFFF) == 0, 1, 0)
     )
-    return jnp.where(lm >= TW, TB, lm * 4 + bidx.astype(jnp.int32))
+    fb = _fwi(x.shape) * 4 + tzb
+    return jnp.minimum(jnp.min(jnp.where(x != 0, fb, TB)), TB).astype(jnp.int32)
 
 
 def _fill_tile(P, per):
@@ -774,6 +773,52 @@ def _lz4_encode_kernel(
 
         pend_before = (hdr_rem > 0) | (lit_rem > 0) | (tail_rem > 0)
 
+        # ---- fast path: whole fresh sequence in one splice ---------------
+        # (header + literals + tail all unstarted and fitting the window)
+        hl_f = 1 + _lsic_nb(llen)
+        tl_full = jnp.where(is_final, 0, 2 + _lsic_nb(mlen - 4))
+        total_f = hl_f + llen + tl_full
+        h_f = o - head_lo
+        fresh = (
+            ~ext_on & ~done & pend_before
+            & (hdr_rem == hl_f) & (lit_rem == llen) & (tail_rem == tl_full)
+            & (total_f <= TB - h_f) & (total_f <= GMAX)
+        )
+
+        def fused_emit(args):
+            o, head, head_lo = args
+            h = o - head_lo
+            tok_m = jnp.where(is_final, 0, jnp.minimum(mlen - 4, 15))
+            token = (jnp.minimum(llen, 15) << 4) | tok_m
+            rem_b = llen - 15 - 255 * (hl_f - 2)
+            H = _field_tile(h, 0, token, rem_b, hl_f) & _byte_mask_tile(h, hl_f)
+            L = read_data(p - (h + hl_f) + 0) & _byte_mask_tile(h + hl_f, llen)
+            h2 = h + hl_f + llen
+            mrem = (mlen - 4) - 15 - 255 * (tl_full - 3)
+            T = _field_tile(h2, 0, off & 0xFF, mrem, tl_full, b1=(off >> 8) & 0xFF)
+            T = T & _byte_mask_tile(h2, tl_full)
+            m = _byte_mask_tile(h, total_f)
+            head = (head & ~m) | H | L | T
+            o = o + total_f
+
+            def flush(args):
+                head, head_lo = args
+                out_ref[0, pl.ds(LEAD + (head_lo >> 9), 8), :] = head
+                return jnp.zeros((8, ROWW), jnp.uint32), head_lo + TB
+
+            head, head_lo = jax.lax.cond(
+                o - head_lo >= TB, lambda: flush((head, head_lo)),
+                lambda: (head, head_lo),
+            )
+            return o, head, head_lo
+
+        o, head, head_lo = jax.lax.cond(
+            fresh, fused_emit, lambda a: a, (o, head, head_lo)
+        )
+        hdr_rem = jnp.where(fresh, 0, hdr_rem)
+        lit_rem = jnp.where(fresh, 0, lit_rem)
+        tail_rem = jnp.where(fresh, 0, tail_rem)
+
         # ---- emission: up to three granules (header, literals, tail) -----
         def emit_step(o, hdr_rem, lit_rem, tail_rem, head, head_lo):
             h = o - head_lo
@@ -830,10 +875,21 @@ def _lz4_encode_kernel(
             )
             return o, hdr_rem, lit_rem, tail_rem, head, head_lo
 
-        for _ in range(3):
-            o, hdr_rem, lit_rem, tail_rem, head, head_lo = emit_step(
-                o, hdr_rem, lit_rem, tail_rem, head, head_lo
-            )
+        def three_steps(args):
+            o, hdr_rem, lit_rem, tail_rem, head, head_lo = args
+            for _ in range(3):
+                o, hdr_rem, lit_rem, tail_rem, head, head_lo = emit_step(
+                    o, hdr_rem, lit_rem, tail_rem, head, head_lo
+                )
+            return (o, hdr_rem, lit_rem, tail_rem, head, head_lo)
+
+        pend_mid = (hdr_rem > 0) | (lit_rem > 0) | (tail_rem > 0)
+        o, hdr_rem, lit_rem, tail_rem, head, head_lo = jax.lax.cond(
+            pend_mid & ~ext_on & ~done,
+            three_steps,
+            lambda a: a,
+            (o, hdr_rem, lit_rem, tail_rem, head, head_lo),
+        )
 
         pend_after = (hdr_rem > 0) | (lit_rem > 0) | (tail_rem > 0)
         completed = pend_before & ~pend_after & ~ext_on & ~done
