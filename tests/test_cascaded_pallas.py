@@ -195,3 +195,33 @@ def test_decode_multi_partition_blocks(rng):
     got = cp.decompress(comp, sizes, opts, C, interpret=True, gp=2)
     for name, r, g in zip(("data", "len", "status"), ref, got):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(r), err_msg=name)
+
+
+def test_decode_barely_compressible_chunks(rng):
+    """Regression: barely-compressible chunks (big final blobs, bw=32;
+    all-count-1 second-RLE blobs) made the old phase-C global butterfly's
+    move distances DROP across chunk boundaries, scrambling the last chunks
+    and rejecting the partition.  Text-like bytes reinterpreted as int32
+    reproduce the profile."""
+    import jax.numpy as jnp
+
+    from tpucomp.codecs import cascaded
+    from tpucomp.codecs.cascaded import _decompress_xla
+    from tpucomp.core.options import CascadedOpts
+    from tpucomp.kernels import cascaded_pallas as cp
+
+    opts = CascadedOpts()
+    C = 65536
+    words = rng.integers(97, 123, (3, C), dtype=np.uint8)
+    words[0, rng.integers(0, C, C // 8)] = 32  # spaces -> short runs
+    arr = words
+    lens = np.array([C, C, C - 4], np.int32)
+    comp, sizes = cascaded.compress(jnp.asarray(arr), jnp.asarray(lens), opts)
+    gd, gl, gs = map(np.asarray, cp.decompress(comp, sizes, opts, C, interpret=True))
+    rd, rl, rs = map(np.asarray, _decompress_xla(comp, sizes, opts, C))
+    np.testing.assert_array_equal(gs, rs)
+    np.testing.assert_array_equal(gl, rl)
+    np.testing.assert_array_equal(gd, rd)
+    assert (gs == 0).all()
+    for i in range(3):
+        np.testing.assert_array_equal(gd[i, : rl[i]], arr[i, : rl[i]])

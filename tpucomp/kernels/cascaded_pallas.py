@@ -597,10 +597,16 @@ class _DLayout:
         self.fd_cols = _cdiv(_cdiv(e * w, 4), SUB)
         self.sc2 = max(1 + self.nr * (1 + self.cd_cols) + 1 + self.fd_cols, self.dc)
         self.l_inw = _rup(_cdiv(_cdiv(in_capacity, 4), SUB), 128)
-        self.l_a = _rup(max(1 + self.k * self.dc, self.l_inw), 128)
-        self.nbits_a = max(1, ((1 + self.k * self.dc) * SUB - 1).bit_length())
+        # chunk slots are sc2-spaced (>= dc): phase A's move distances are
+        # then uniform per chunk and nondecreasing across chunks, and phase
+        # C's section moves stay within one sc2-lane group, where the
+        # distance deltas are slot_cap - section_size >= 0.  (dc-spaced
+        # slots made the phase-C global butterfly's distance DROP across
+        # chunk boundaries for barely-compressible chunks, scrambling them.)
+        self.l_a = _rup(max(1 + self.k * self.sc2, self.l_inw), 128)
+        self.nbits_a = max(1, ((1 + self.k * self.sc2) * SUB - 1).bit_length())
         self.l_c = _rup(max(1 + self.k * self.sc2, self.l_a), 128)
-        self.nbits_c = max(1, ((1 + self.k * self.sc2) * SUB - 1).bit_length())
+        self.nbits_c = max(1, (self.sc2 * SUB - 1).bit_length())
         # pipeline element span per chunk: one dead leading column + elements
         self.ep = self.ec + 1
         self.nbits_f = max(1, (self.k * self.ep * SUB - 1).bit_length())
@@ -832,7 +838,7 @@ def _decode_one(lay: _DLayout, gp: int, p: int, size_ref, comp_ref, out_ref, deb
         cid = jnp.where(here, kk, cid)
         off_of = jnp.where(here, offs[kk], off_of)
     lw = afi - off_of // 4
-    slot_base = SUB + cid * (lay.dc * SUB)
+    slot_base = SUB + cid * (lay.sc2 * SUB)
     valid_a = (cid >= 0) & (lw >= 0) & (lw < lay.dc * SUB)
     (slotted,), ok_a = lanes.butterfly_right(
         [wa], jnp.where(valid_a, slot_base + lw - afi, 0), valid_a, lay.l_a,
@@ -843,10 +849,10 @@ def _decode_one(lay: _DLayout, gp: int, p: int, size_ref, comp_ref, out_ref, deb
     if _cut(3, slotted):
         return
 
-    # ---- phase B: static meta extraction per chunk (span dc) -------------
-    # per-chunk scalar math happens on the B-shape [SUB, k*dc] (span dc);
+    # ---- phase B: static meta extraction per chunk (span sc2) ------------
+    # per-chunk scalar math happens on the B-shape [SUB, k*sc2] (span sc2);
     # the slots start one column in, so shift left one column first
-    dspan = lay.dc
+    dspan = lay.sc2
     bshape = (SUB, k * dspan)
     slot_t = lanes.flat_roll_static(slotted, lay.l_a * SUB - SUB, lay.l_a)[
         :, : k * dspan
@@ -914,16 +920,19 @@ def _decode_one(lay: _DLayout, gp: int, p: int, size_ref, comp_ref, out_ref, deb
         return
 
     # ---- phase C: spread blob streams to per-blob slots ------------------
+    # group-aligned within-chunk moves: the lead column is dropped so chunk
+    # g's slot occupies lanes [g*sc2, (g+1)*sc2) exactly, and the section
+    # butterfly runs with span sc2 (distances nondecreasing within a group
+    # because every slot cap >= its section's size)
     cshape = (SUB, lay.l_c)
-    wc = _embed_cols(slotted, lay.l_c)
+    wc = lanes.flat_roll_static(
+        _embed_cols(slotted, lay.l_c), lay.l_c * SUB - SUB, lay.l_c
+    )
     cfi = lanes.flat_iota(cshape)
-    # a word's chunk in slot space: (cfi - SUB) // (dc*SUB)
-    cid2 = (cfi - SUB) // (lay.dc * SUB)
-    lw2 = (cfi - SUB) - cid2 * (lay.dc * SUB) - lay.mw  # word idx past meta
-    in_chunk = (cfi >= SUB) & (cid2 < k)
-    # per-slot section offsets: broadcast from the dc-span tiles via cid2
-    # (the dc-span tiles are aligned with slot space shifted by one column)
-    secoff_parts = []
+    cid2 = cfi // (lay.sc2 * SUB)
+    gloc = cfi - cid2 * (lay.sc2 * SUB)
+    lw2 = gloc - lay.mw  # word idx past meta
+    in_chunk = cid2 < k
     off_w = [ro // 4 for ro in rle_offsets] + [final_off // 4]
     sz_w = [(blob_sizes[1 + i] + 3) // 4 for i in range(nr)] + [(fsize + 3) // 4]
     # move-window clamp: every readable word fits the slot by construction
@@ -933,12 +942,10 @@ def _decode_one(lay: _DLayout, gp: int, p: int, size_ref, comp_ref, out_ref, deb
     for scap in slot_caps:
         slot_bases.append(acc)
         acc += scap
-    # align dc-span per-chunk scalars to phase-C slot coordinates: the
-    # scalars live in [SUB, l_a] with span dc starting at lane 0; slot words
-    # start at lane 1.  Shift right one column.
+    # the sc2-span per-chunk scalars (B-shape, groups from lane 0) align
+    # directly with the lead-dropped slot coordinates
     def to_c(t):
-        t2 = _embed_cols(t, lay.l_c)
-        return lanes.flat_roll_static(t2, SUB, lay.l_c)
+        return _embed_cols(t, lay.l_c)
 
     live_c = to_c(live_b) > 0
 
@@ -971,12 +978,12 @@ def _decode_one(lay: _DLayout, gp: int, p: int, size_ref, comp_ref, out_ref, deb
     if _cut(63, secstart + secsz + secbase + seccap + sec):
         return
 
-    tgt_c = SUB * (1 + cid2 * lay.sc2 + secbase) + j_c
+    tgt_local = SUB * secbase + j_c
 
-    if _cut(64, jnp.where(valid_c, tgt_c, 0)):
+    if _cut(64, jnp.where(valid_c, tgt_local, 0)):
         return
     (blobbed,), ok_c = lanes.butterfly_right(
-        [wc], jnp.where(valid_c, tgt_c - cfi, 0), valid_c, lay.l_c,
+        [wc], jnp.where(valid_c, tgt_local - gloc, 0), valid_c, lay.sc2,
         nbits=lay.nbits_c,
     )
     blobbed = jnp.where(ok_c, blobbed, 0)
@@ -991,7 +998,7 @@ def _decode_one(lay: _DLayout, gp: int, p: int, size_ref, comp_ref, out_ref, deb
         parts = []
         scap = slot_caps[bi]
         for g in range(k):
-            base_col = 1 + g * lay.sc2 + slot_bases[bi]
+            base_col = g * lay.sc2 + slot_bases[bi]
             sl = blobbed[:, base_col : base_col + scap]
             if scap < span_b:
                 sl = jnp.concatenate(
@@ -1002,7 +1009,7 @@ def _decode_one(lay: _DLayout, gp: int, p: int, size_ref, comp_ref, out_ref, deb
 
     # per-chunk scalars regrouped into the ep-span pipeline layout
     def to_ep(t):
-        return lanes.regroup_scalar(t, lay.dc, k, lay.ep)
+        return lanes.regroup_scalar(t, lay.sc2, k, lay.ep)
 
     sizes_ep = [to_ep(blob_sizes[1 + i]) for i in range(nr)]
     fsize_ep = to_ep(fsize)
