@@ -661,9 +661,8 @@ def _rle_decode_tile(vals, counts, num_runs, span: int):
     # clamp collision only garbles this group, and the partition-level count
     # checks already reject such streams)
     s2 = jnp.minimum(s2, span * SUB - 1)
-    (v3,), ok3 = lanes.butterfly_right(
-        [v2], jnp.where(ok, s2 - fi, 0), ok, span
-    )
+    d3 = jnp.where(ok, s2 - fi, 0)
+    (v3,), ok3 = lanes.butterfly_right([v2], d3, ok, span, max_dist=jnp.max(d3))
     x = lanes.ffill(v3, ok3, span, max_gap=jnp.max(c) - 1)
     x = jnp.where(fi < total, x, 0)
     return x, total
@@ -693,8 +692,9 @@ def _unpack_blob_tile(blob, span: int, tbits: int, use_bp: bool, size, e: int):
         jread = (e * bw + 31) >> 5  # words the e-element reader touches
         tgt = SUB + jq * SUB + (j - jq * bw)
         valid = (j >= 0) & (j < jread) & (bw > 0)
+        dspread = jnp.where(valid, tgt - fi, 0)
         (wv,), okw = lanes.butterfly_right(
-            [blob], jnp.where(valid, tgt - fi, 0), valid, span
+            [blob], dspread, valid, span, max_dist=jnp.max(dspread)
         )
         words = jnp.where(okw, wv, 0).astype(jnp.uint32)
         v = lanes.unpack_columns(words, bw)
@@ -711,8 +711,9 @@ def _unpack_blob_tile(blob, span: int, tbits: int, use_bp: bool, size, e: int):
     m = fi
     valid = m < _cdiv(e * width, 4)
     tgt = SUB + m * per
+    draw = jnp.where(valid, tgt - fi, 0)
     (wv,), okw = lanes.butterfly_right(
-        [blob], jnp.where(valid, tgt - fi, 0), valid, span
+        [blob], draw, valid, span, max_dist=jnp.max(draw)
     )
     wv = jnp.where(okw, wv, 0)
     wv = lanes.ffill(wv, okw, span)
@@ -807,9 +808,17 @@ def _decode_one(lay: _DLayout, gp: int, p: int, size_ref, comp_ref, out_ref, deb
     # roll + static column slice + tiny sublane reduction (the previous
     # whole-tile select_word reductions dominated the kernel's prologue)
     def word_at(pw):
+        # narrow the traced roll to one 128-lane block (static-select the
+        # block first): a [SUB,128] dynamic roll costs ~1/5 of the full
+        # [SUB,l_inw] roll the walk used before
         l = pw // SUB
         s = pw - l * SUB
-        rolled = pltpu.roll(words_in, (-l) % lay.l_inw, axis=1)
+        nb = lay.l_inw // 128
+        blk = l // 128
+        sel = words_in[:, 0:128]
+        for bi in range(1, nb):
+            sel = jnp.where(blk == bi, words_in[:, bi * 128 : (bi + 1) * 128], sel)
+        rolled = pltpu.roll(sel, (-(l - blk * 128)) % 128, axis=1)
         col = rolled[:, 0:1]
         si = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
         return jnp.sum(jnp.where(si == s, col, 0), dtype=jnp.int32)
@@ -1069,9 +1078,10 @@ def _decode_one(lay: _DLayout, gp: int, p: int, size_ref, comp_ref, out_ref, deb
     jloc = efi
     valid_f = (jloc < counts_k) & (jloc < e)
     tgt_f = pre + jloc
-    dist_f = lanes.flat_iota(cur_x.shape) - tgt_f
+    dist_f = jnp.where(valid_f, lanes.flat_iota(cur_x.shape) - tgt_f, 0)
     (outx,), ok_f = lanes.butterfly_left(
-        [cur_x], jnp.where(valid_f, dist_f, 0), valid_f, L_ep, nbits=lay.nbits_f
+        [cur_x], dist_f, valid_f, L_ep, nbits=lay.nbits_f,
+        max_dist=jnp.max(dist_f),
     )
     outx = jnp.where(ok_f, outx, 0)
 
@@ -1086,18 +1096,24 @@ def _decode_one(lay: _DLayout, gp: int, p: int, size_ref, comp_ref, out_ref, deb
     if w == 4:
         fbx = w_f
     else:
-        per = 4 // w
-        m = ofi
-        valid_w = m * per < lay.cap_elems + per
-        (sp,), oksp = lanes.butterfly_right(
-            [w_f], jnp.where(valid_w, m * per - m, 0), valid_w, oshape[1]
-        )
-        sp = jnp.where(oksp, sp, 0)
-        sp = lanes.ffill(sp, oksp, oshape[1])
-        sh = ((ofi % per) * w * 8).astype(jnp.uint32)
-        emask = jnp.uint32((1 << ebits) - 1)
-        fbx = ((sp.astype(jnp.uint32) >> sh) & emask).astype(jnp.int32)
-        fbx = _sext(fbx, ebits)
+        # only run the spread/ffill when this partition IS a raw fallback
+        # (rare): the whole path is dead weight otherwise
+        def _fb():
+            per = 4 // w
+            m = ofi
+            valid_w = m * per < lay.cap_elems + per
+            dfb = jnp.where(valid_w, m * per - m, 0)
+            (sp,), oksp = lanes.butterfly_right(
+                [w_f], dfb, valid_w, oshape[1], max_dist=jnp.max(dfb)
+            )
+            sp = jnp.where(oksp, sp, 0)
+            sp = lanes.ffill(sp, oksp, oshape[1])
+            sh = ((ofi % per) * w * 8).astype(jnp.uint32)
+            emask = jnp.uint32((1 << ebits) - 1)
+            fbx = ((sp.astype(jnp.uint32) >> sh) & emask).astype(jnp.int32)
+            return _sext(fbx, ebits)
+
+        fbx = jax.lax.cond(is_fallback, _fb, lambda: jnp.zeros(oshape, jnp.int32))
     fb_ok = comp_size >= 8 + n_elems * w
 
     if _cut(11, fbx):

@@ -213,26 +213,45 @@ def butterfly_left(payloads, dist, valid, span: int, nbits: int | None = None,
     return payloads, state >= 0
 
 
-def butterfly_right(payloads, dist, valid, span: int, nbits: int | None = None):
+def butterfly_right(payloads, dist, valid, span: int, nbits: int | None = None,
+                    max_dist=None):
     """Move element at flat position i to i + dist[i] (within its group).
 
     Targets must be distinct with nondecreasing ``dist`` per group
     (expansion / monotone placement).  Bits processed high -> low.
     Returns (payloads', valid').  Same fused-state scheme as butterfly_left.
+
+    ``max_dist``: optional traced scalar upper bound on dist; stages whose
+    step exceeds it are identity (no element carries that bit) and are
+    skipped at run time with a lax.cond per stage.
     """
     total = span * payloads[0].shape[0]
     nbits = nbits or _ilog2_ceil(total)
     state = jnp.where(valid, dist.astype(jnp.int32), -1)
     for s in reversed(range(nbits)):
         step = 1 << s
-        rolled = flat_roll_static(state, step, span)
-        incoming = rolled >= step
-        incoming &= (rolled >> s) & 1 == 1
-        moving_away = (state >= step) & ((state >> s) & 1 == 1)
-        payloads = [
-            jnp.where(incoming, flat_roll_static(p, step, span), p) for p in payloads
-        ]
-        state = jnp.where(incoming, rolled - step, jnp.where(moving_away, -1, state))
+
+        def stage(args, step=step, s=s):
+            payloads, state = args
+            rolled = flat_roll_static(state, step, span)
+            incoming = rolled >= step
+            incoming &= (rolled >> s) & 1 == 1
+            moving_away = (state >= step) & ((state >> s) & 1 == 1)
+            payloads = [
+                jnp.where(incoming, flat_roll_static(p, step, span), p)
+                for p in payloads
+            ]
+            state = jnp.where(
+                incoming, rolled - step, jnp.where(moving_away, -1, state)
+            )
+            return payloads, state
+
+        if max_dist is None:
+            payloads, state = stage((payloads, state))
+        else:
+            payloads, state = jax.lax.cond(
+                max_dist >= step, stage, lambda a: a, (payloads, state)
+            )
     return payloads, state >= 0
 
 
