@@ -23,12 +23,18 @@ for C in (32 * 1024, 256 * 1024, 1024 * 1024):
     arr = np.frombuffer(corpus, np.uint8).reshape(B, C)
     lens = np.full(B, C, np.int32)
     lens[-1] = C - 13
-    da, dl = jnp.asarray(arr), jnp.asarray(lens)
+    # cascaded is element-typed (default INT): trailing partial-element
+    # bytes are dropped by contract (olen = (len // w) * w), so give it an
+    # element-aligned tail; lz4/snappy are byte-oriented.
+    lens_c = np.full(B, C, np.int32)
+    lens_c[-1] = C - 16
+    da = jnp.asarray(arr)
+    dl, dlc = jnp.asarray(lens), jnp.asarray(lens_c)
 
-    for name, enc, dec in (
-        ("lz4", lambda: lz4.compress(da, dl), lambda c, s: lz4.decompress(c, s, out_capacity=C)),
-        ("snappy", lambda: snappy.compress(da, dl), lambda c, s: snappy.decompress(c, s, out_capacity=C)),
-        ("cascaded", lambda: cascaded.compress(da, dl, CascadedOpts()),
+    for name, lns, enc, dec in (
+        ("lz4", lens, lambda: lz4.compress(da, dl), lambda c, s: lz4.decompress(c, s, out_capacity=C)),
+        ("snappy", lens, lambda: snappy.compress(da, dl), lambda c, s: snappy.decompress(c, s, out_capacity=C)),
+        ("cascaded", lens_c, lambda: cascaded.compress(da, dlc, CascadedOpts()),
          lambda c, s: cascaded.decompress(c, s, CascadedOpts(), C)),
     ):
         t0 = time.time()
@@ -37,8 +43,8 @@ for C in (32 * 1024, 256 * 1024, 1024 * 1024):
             jax.device_get(sizes[:2])
             out, olen, st = dec(comp, sizes)
             out, olen, st = map(np.asarray, (out, olen, st))
-            ok = (st == 0).all() and (olen == lens).all() and all(
-                (out[i, : lens[i]] == arr[i, : lens[i]]).all() for i in range(B)
+            ok = (st == 0).all() and (olen == lns).all() and all(
+                (out[i, : lns[i]] == arr[i, : lns[i]]).all() for i in range(B)
             )
             r = B * C / float(np.asarray(sizes).sum())
             print(f"LARGE {name} C={C//1024}KB B={B}: {'OK' if ok else 'FAIL'} ratio {r:.2f} ({time.time()-t0:.0f}s)", flush=True)
