@@ -303,120 +303,113 @@ def _fill_tile(P, per):
 
 
 def _lz4_decode_kernel(
-    rc: int, rw: int, rt: int, r_res: int, out_cap: int,
-    size_ref, wv_ref, out_ref, ws_ref, sem
+    rc: int, rw: int, rt: int, r_res: int, out_cap: int, K: int,
+    size_ref, wv_ref, out_ref
 ):
     """rc: stream data rows; rw: padded stream rows (LEAD + rc + 16);
-    rt: total output rows; r_res: result-row index in the output tile."""
-    comp_len = size_ref[pl.program_id(0)]
-    nsw = rc * ROWW  # SMEM words available
+    rt: total output rows; r_res: result-row index in the output tile.
 
-    # stage the stream into SMEM for the scalar parser (one DMA; scalar
-    # SMEM loads are ~18 ns vs ~40 ns for vector-extract reads, and the
-    # parser issues ~6 per sequence)
-    cp = pltpu.make_async_copy(wv_ref.at[0, pl.ds(LEAD, rc)], ws_ref, sem)
-    cp.start()
-    cp.wait()
+    K chunks decode per grid cell through ONE interleaved loop: each
+    iteration advances K independent per-chunk state machines.  The
+    dependent-chain costs that bound a single chunk (window read ~310 ns,
+    tile rotation ~320 ns, cross-lane reduce ~210 ns) are pipeline
+    latencies, not issue costs: 8 independent chains pay ~1.3x the cost
+    of one (scripts/ilp_probe.py), so interleaving recovers most of the
+    sequence-rate bound of the round-2 one-chunk-per-cell kernel.  The
+    scalar parser reads stream bytes by VMEM extract (_extract_word)
+    instead of a staged SMEM copy: the extracts of different chunks
+    overlap, and the per-cell staging DMA disappears."""
+    nsb = rc * ROWB  # parser-addressable stream bytes
 
-    def byte_at(q):
-        qc = jnp.clip(q, 0, nsw * 4 - 1) >> 2
-        w = ws_ref[qc >> 7, qc & (ROWW - 1)]
-        return (w >> (8 * (q & 3))) & 0xFF
+    def mk_chunk(k):
+        comp_len = size_ref[pl.program_id(0) * K + k]
 
-    def get16(ref):
-        def get(r0):
-            return _u(ref[0, pl.ds(r0, 16), :])
+        def get16d(r0):
+            return _u(wv_ref[k, pl.ds(r0, 16), :])
 
-        return get
+        def get16o(r0):
+            return _u(out_ref[k, pl.ds(r0, 16), :])
 
-    # carry: p, o, rem_lit, lit_src, rem_m, m_off, last_seen, ok, head, head_lo
-    # head is a 4KB window over output bytes [head_lo, head_lo + TB);
-    # o is the write position, head_lo <= o <= head_lo + TB.
-    def cond(c):
-        p, o, rem_lit, lit_src, rem_m, m_off, last_seen, ok, head, head_lo = c
-        return ok & ((rem_lit > 0) | (rem_m > 0) | ~last_seen)
+        def byte_at(q):
+            qc = jnp.clip(q, 0, nsb - 1) >> 2
+            w = _extract_word(
+                lambda r: wv_ref[k, pl.ds(LEAD + jnp.clip(r, 0, rc - 1), 1), :], qc
+            )
+            return (w >> (8 * (q & 3))) & 0xFF
 
-    def move_granule(o, rem_lit, lit_src, rem_m, m_off, ok, head, head_lo):
-        h = o - head_lo
-        space = TB - h
-        do_lit = rem_lit > 0
-        pend = (rem_lit > 0) | (rem_m > 0)
-        gmax = jnp.where(do_lit, rem_lit, rem_m)
-        g = jnp.minimum(jnp.minimum(gmax, space), GMAX)
-        src = jnp.where(do_lit, lit_src, o - m_off)
-        from_head = ~do_lit & (src >= head_lo)
-        # shrink a match granule to the window boundary if it straddles
-        g = jnp.where(
-            ~do_lit & (src < head_lo) & (src + g > head_lo), head_lo - src, g
-        )
-        need_fill = ~do_lit & (m_off < g)
-        g = jnp.where(ok & pend & (g > 0), g, 0)
+        def move_granule(o, rem_lit, lit_src, rem_m, m_off, ok, head, head_lo):
+            h = o - head_lo
+            space = TB - h
+            do_lit = rem_lit > 0
+            pend = (rem_lit > 0) | (rem_m > 0)
+            gmax = jnp.where(do_lit, rem_lit, rem_m)
+            g = jnp.minimum(jnp.minimum(gmax, space), GMAX)
+            src = jnp.where(do_lit, lit_src, o - m_off)
+            from_head = ~do_lit & (src >= head_lo)
+            # shrink a match granule to the window boundary if it straddles
+            g = jnp.where(
+                ~do_lit & (src < head_lo) & (src + g > head_lo), head_lo - src, g
+            )
+            need_fill = ~do_lit & (m_off < g)
+            g = jnp.where(ok & pend & (g > 0), g, 0)
 
-        def direct():
-            # source read directly at output alignment: window at src - h
-            def lit():
-                return _read_win(get16(wv_ref), src - h + LEAD * ROWB)
+            def direct():
+                # source read directly at output alignment: window at src - h
+                def lit():
+                    return _read_win(get16d, src - h + LEAD * ROWB)
 
-            def mat():
-                def mhead():
-                    return _rot_tile(head, (src - head_lo - h) % TB)
+                def mat():
+                    def mhead():
+                        return _rot_tile(head, (src - head_lo - h) % TB)
 
-                def mvmem():
-                    return _read_win(get16(out_ref), src - h + LEAD * ROWB)
+                    def mvmem():
+                        return _read_win(get16o, src - h + LEAD * ROWB)
 
-                return jax.lax.cond(from_head, mhead, mvmem)
+                    return jax.lax.cond(from_head, mhead, mvmem)
 
-            return jax.lax.cond(do_lit, lit, mat)
+                return jax.lax.cond(do_lit, lit, mat)
 
-        def filled():
-            # src-aligned pattern read -> periodic fill -> out alignment
-            def phead():
-                return _rot_tile(head, (src - head_lo) % TB)
+            def filled():
+                # src-aligned pattern read -> periodic fill -> out alignment
+                def phead():
+                    return _rot_tile(head, (src - head_lo) % TB)
 
-            def pvmem():
-                return _read_win(get16(out_ref), src + LEAD * ROWB)
+                def pvmem():
+                    return _read_win(get16o, src + LEAD * ROWB)
 
-            P = jax.lax.cond(from_head, phead, pvmem)
-            F = _fill_tile(P, jnp.maximum(m_off, 1))
-            return _rot_tile(F, (TB - h) % TB)
+                P = jax.lax.cond(from_head, phead, pvmem)
+                F = _fill_tile(P, jnp.maximum(m_off, 1))
+                return _rot_tile(F, (TB - h) % TB)
 
-        W = jax.lax.cond(need_fill, filled, direct)
-        m = _byte_mask_tile(h, g)
-        head = (head & ~m) | (W & m)
+            W = jax.lax.cond(need_fill, filled, direct)
+            m = _byte_mask_tile(h, g)
+            head = (head & ~m) | (W & m)
 
-        o = o + g
-        rem_lit = jnp.where(do_lit, rem_lit - g, rem_lit)
-        lit_src = jnp.where(do_lit, lit_src + g, lit_src)
-        rem_m = jnp.where(do_lit, rem_m, rem_m - g)
+            o = o + g
+            rem_lit = jnp.where(do_lit, rem_lit - g, rem_lit)
+            lit_src = jnp.where(do_lit, lit_src + g, lit_src)
+            rem_m = jnp.where(do_lit, rem_m, rem_m - g)
 
-        # flush a completed window (8-row aligned store; head_lo is a
-        # multiple of TB so the row index is a multiple of 8)
-        def flush(args):
-            head, head_lo = args
-            r = LEAD + (head_lo >> 9)
-            out_ref[0, pl.ds(r, 8), :] = head
-            return jnp.zeros((8, ROWW), jnp.uint32), head_lo + TB
+            def flush(args):
+                head, head_lo = args
+                r = LEAD + (head_lo >> 9)
+                out_ref[k, pl.ds(r, 8), :] = head
+                return jnp.zeros((8, ROWW), jnp.uint32), head_lo + TB
 
-        head, head_lo = jax.lax.cond(
-            o - head_lo >= TB, lambda: flush((head, head_lo)),
-            lambda: (head, head_lo),
-        )
-        return o, rem_lit, lit_src, rem_m, ok, head, head_lo
+            head, head_lo = jax.lax.cond(
+                o - head_lo >= TB, lambda: flush((head, head_lo)),
+                lambda: (head, head_lo),
+            )
+            return o, rem_lit, lit_src, rem_m, ok, head, head_lo
 
-    def body(c):
-        p, o, rem_lit, lit_src, rem_m, m_off, last_seen, ok, head, head_lo = c
-        no_pending = (rem_lit == 0) & (rem_m == 0)
-
-        # ---- a) parse next sequence (scalar core) ------------------------
         def lsic(q0):
             # vectorized 255-run scan: one 4KB window read + first-non-FF
-            # reduction replaces the byte-at-a-time inner loop (measured
-            # ~0.75us per inner iteration -- it dominated bulk decode)
+            # reduction per 4KB of run
             ff = jnp.zeros((8, ROWW), jnp.uint32) + jnp.uint32(0xFFFFFFFF)
 
-            def step(c):
+            def lstep(c):
                 q, acc, go = c
-                W = _read_win(get16(wv_ref), q + LEAD * ROWB)
+                W = _read_win(get16d, q + LEAD * ROWB)
                 d_raw = _first_diff_tile(W, ff)
                 d = jnp.minimum(d_raw, jnp.maximum(comp_len - q, 0))
                 return (
@@ -426,84 +419,116 @@ def _lz4_decode_kernel(
                 )
 
             q, acc, _ = jax.lax.while_loop(
-                lambda c: c[2], step, (q0, jnp.int32(0), jnp.bool_(True))
+                lambda c: c[2], lstep, (q0, jnp.int32(0), jnp.bool_(True))
             )
             return jnp.asarray(q + 1, jnp.int32), jnp.asarray(acc + byte_at(q), jnp.int32)
 
-        def parse():
-            token = byte_at(p)
-            lnib = token >> 4
-            qe, lext = jax.lax.cond(
-                lnib == 15,
-                lambda: lsic(p + 1),
-                lambda: (jnp.asarray(p + 1, jnp.int32), jnp.int32(0)),
+        def step(c):
+            p, o, rem_lit, lit_src, rem_m, m_off, last_seen, ok, head, head_lo = c
+            no_pending = (rem_lit == 0) & (rem_m == 0)
+
+            # ---- a) parse next sequence (scalar core) --------------------
+            def parse():
+                token = byte_at(p)
+                lnib = token >> 4
+                qe, lext = jax.lax.cond(
+                    lnib == 15,
+                    lambda: lsic(p + 1),
+                    lambda: (jnp.asarray(p + 1, jnp.int32), jnp.int32(0)),
+                )
+                llen = jnp.where(lnib == 15, 15 + lext, lnib)
+                src = qe
+                q = src + llen
+                is_last = q >= comp_len
+                off = byte_at(q) | (byte_at(q + 1) << 8)
+                mnib = token & 15
+                qm, mext = jax.lax.cond(
+                    (mnib == 15) & ~is_last,
+                    lambda: lsic(q + 2),
+                    lambda: (jnp.asarray(q + 2, jnp.int32), jnp.int32(0)),
+                )
+                mlen = jnp.where(is_last, 0, 4 + jnp.where(mnib == 15, 15 + mext, mnib))
+                step_ok = q <= comp_len
+                step_ok &= is_last | ((off >= 1) & (off <= o + llen))
+                step_ok &= is_last | (qm <= comp_len)
+                step_ok &= o + llen + mlen <= out_cap
+                p2 = jnp.where(is_last, comp_len, qm)
+                return p2, llen, src, mlen, off, is_last, step_ok
+
+            p2, nl, nls, nm, noff, nlast, pok = jax.lax.cond(
+                no_pending,
+                parse,
+                lambda: (p, rem_lit, lit_src, rem_m, m_off, last_seen, ok),
             )
-            llen = jnp.where(lnib == 15, 15 + lext, lnib)
-            src = qe
-            q = src + llen
-            is_last = q >= comp_len
-            off = byte_at(q) | (byte_at(q + 1) << 8)
-            mnib = token & 15
-            qm, mext = jax.lax.cond(
-                (mnib == 15) & ~is_last,
-                lambda: lsic(q + 2),
-                lambda: (jnp.asarray(q + 2, jnp.int32), jnp.int32(0)),
+            rem_lit = jnp.where(no_pending, nl, rem_lit)
+            lit_src = jnp.where(no_pending, nls, lit_src)
+            rem_m = jnp.where(no_pending, nm, rem_m)
+            m_off = jnp.where(no_pending, noff, m_off)
+            last_seen = jnp.where(no_pending, nlast | last_seen, last_seen)
+            ok = ok & pok
+
+            # ---- b) move up to two granules (literal then match) ---------
+            o, rem_lit, lit_src, rem_m, ok, head, head_lo = move_granule(
+                o, rem_lit, lit_src, rem_m, m_off, ok, head, head_lo
             )
-            mlen = jnp.where(is_last, 0, 4 + jnp.where(mnib == 15, 15 + mext, mnib))
-            step_ok = q <= comp_len
-            step_ok &= is_last | ((off >= 1) & (off <= o + llen))
-            step_ok &= is_last | (qm <= comp_len)
-            step_ok &= o + llen + mlen <= out_cap
-            p2 = jnp.where(is_last, comp_len, qm)
-            return p2, llen, src, mlen, off, is_last, step_ok
+            o, rem_lit, lit_src, rem_m, ok, head, head_lo = move_granule(
+                o, rem_lit, lit_src, rem_m, m_off, ok, head, head_lo
+            )
 
-        p2, nl, nls, nm, noff, nlast, pok = jax.lax.cond(
-            no_pending,
-            parse,
-            lambda: (p, rem_lit, lit_src, rem_m, m_off, last_seen, ok),
-        )
-        rem_lit = jnp.where(no_pending, nl, rem_lit)
-        lit_src = jnp.where(no_pending, nls, lit_src)
-        rem_m = jnp.where(no_pending, nm, rem_m)
-        m_off = jnp.where(no_pending, noff, m_off)
-        last_seen = jnp.where(no_pending, nlast | last_seen, last_seen)
-        ok = ok & pok
+            return (p2, o, rem_lit, lit_src, rem_m, m_off, last_seen, ok, head, head_lo)
 
-        # ---- b) move up to two granules (literal then match, typically) --
-        o, rem_lit, lit_src, rem_m, ok, head, head_lo = move_granule(
-            o, rem_lit, lit_src, rem_m, m_off, ok, head, head_lo
-        )
-        o, rem_lit, lit_src, rem_m, ok, head, head_lo = move_granule(
-            o, rem_lit, lit_src, rem_m, m_off, ok, head, head_lo
+        init = (
+            jnp.int32(0),
+            jnp.int32(0),
+            jnp.int32(0),
+            jnp.int32(0),
+            jnp.int32(0),
+            jnp.int32(0),
+            comp_len <= 0,
+            comp_len >= 0,
+            jnp.zeros((8, ROWW), jnp.uint32),
+            jnp.int32(0),
         )
 
-        return (p2, o, rem_lit, lit_src, rem_m, m_off, last_seen, ok, head, head_lo)
+        def finalize(c):
+            o, ok, head, head_lo = c[1], c[7], c[8], c[9]
 
-    init = (
-        jnp.int32(0),
-        jnp.int32(0),
-        jnp.int32(0),
-        jnp.int32(0),
-        jnp.int32(0),
-        jnp.int32(0),
-        comp_len <= 0,
-        comp_len >= 0,
-        jnp.zeros((8, ROWW), jnp.uint32),
-        jnp.int32(0),
-    )
-    p, o, _, _, _, _, _, ok, head, head_lo = jax.lax.while_loop(cond, body, init)
+            # final flush of the partial window
+            @pl.when(ok & (o > head_lo))
+            def _():
+                out_ref[k, pl.ds(LEAD + (head_lo >> 9), 8), :] = head
 
-    # final flush of the partial window
-    @pl.when(ok & (o > head_lo))
-    def _():
-        out_ref[0, pl.ds(LEAD + (head_lo >> 9), 8), :] = head
+            # length and status ride a dedicated result row past the flush
+            li = _li((1, ROWW))
+            lengths = jnp.where(ok, o, 0)
+            status = jnp.where(
+                ok, int(Status.SUCCESS), int(Status.ERROR_CANNOT_DECOMPRESS)
+            )
+            resrow = jnp.where(li == 0, lengths, jnp.where(li == 1, status, 0))
+            out_ref[k, r_res : r_res + 1, :] = _u(resrow)
 
-    # length and status ride a dedicated result row past the flush range
-    li = _li((1, ROWW))
-    lengths = jnp.where(ok, o, 0)
-    status = jnp.where(ok, int(Status.SUCCESS), int(Status.ERROR_CANNOT_DECOMPRESS))
-    resrow = jnp.where(li == 0, lengths, jnp.where(li == 1, status, 0))
-    out_ref[0, r_res : r_res + 1, :] = _u(resrow)
+        return init, step, finalize
+
+    chunks = [mk_chunk(k) for k in range(K)]
+
+    def active(c):
+        return c[7] & ((c[2] > 0) | (c[4] > 0) | ~c[6])
+
+    def cond(cs):
+        a = active(cs[0])
+        for c in cs[1:]:
+            a = a | active(c)
+        return a
+
+    def body(cs):
+        return tuple(
+            jax.lax.cond(active(c), chunks[k][1], lambda c: c, c)
+            for k, c in enumerate(cs)
+        )
+
+    finals = jax.lax.while_loop(cond, body, tuple(ch[0] for ch in chunks))
+    for k, c in enumerate(finals):
+        chunks[k][2](c)
 
 
 # ---------------------------------------------------------------------------
@@ -514,17 +539,21 @@ def supports_decode(out_capacity: int) -> bool:
     return out_capacity >= 1
 
 
-@functools.partial(jax.jit, static_argnames=("out_capacity", "interpret"))
-def decompress(comp, comp_sizes, out_capacity: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("out_capacity", "interpret", "kpack"))
+def decompress(comp, comp_sizes, out_capacity: int, interpret: bool = False,
+               kpack: int = 8):
     """Batched LZ4 decompression on the Pallas path.
 
     comp: uint8[B, CMAX]; comp_sizes: int32[B].  Returns (data uint8[B,
     out_capacity], lengths int32[B], statuses int32[B]) matching
-    codecs/lz4.py decompress.
+    codecs/lz4.py decompress.  ``kpack`` chunks share a grid cell and
+    decode interleaved (ILP over the per-chunk dependent chains).
     """
     from tpucomp.utils import bits
 
     b, cmax = comp.shape
+    K = max(1, min(kpack, b))
+    bp = _rup(b, K)
     # stream data rows padded to 8 sublanes: an unaligned-sublane VMEM->SMEM
     # DMA hard-faults the TPU worker (observed at rc=49/129; rc=40 fine)
     rc = _rup(_cdiv(cmax, ROWB), 8)
@@ -535,27 +564,31 @@ def decompress(comp, comp_sizes, out_capacity: int, interpret: bool = False):
     pad = rw * ROWB - cmax - LEAD * ROWB
     lead = jnp.zeros((b, LEAD * ROWB), jnp.uint8)
     cw = jnp.concatenate([lead, comp, jnp.zeros((b, pad), jnp.uint8)], axis=1)
-    wv = bits.bytes_to_units_le(cw, 4).astype(jnp.int32).reshape(b, rw, ROWW)
+    sizes = comp_sizes.astype(jnp.int32)
+    if bp != b:
+        cw = jnp.concatenate([cw, jnp.zeros((bp - b, cw.shape[1]), jnp.uint8)], axis=0)
+        sizes = jnp.concatenate([sizes, jnp.zeros((bp - b,), jnp.int32)])
+    wv = bits.bytes_to_units_le(cw, 4).astype(jnp.int32).reshape(bp, rw, ROWW)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
+        grid=(bp // K,),
         in_specs=[
-            pl.BlockSpec((1, rw, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, rw, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, rt, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+            (K, rt, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.SMEM((rc, ROWW), jnp.int32), pltpu.SemaphoreType.DMA],
     )
     out = pl.pallas_call(
-        functools.partial(_lz4_decode_kernel, rc, rw, rt, r_res, out_capacity),
+        functools.partial(_lz4_decode_kernel, rc, rw, rt, r_res, out_capacity, K),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, rt, ROWW), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((bp, rt, ROWW), jnp.uint32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
-    )(comp_sizes.astype(jnp.int32), wv)
+    )(sizes, wv)
 
+    out = out[:b]
     lengths = out[:, r_res, 0].astype(jnp.int32)
     statuses = out[:, r_res, 1].astype(jnp.int32)
     data = bits.units_to_bytes_le(
@@ -575,14 +608,14 @@ def decompress(comp, comp_sizes, out_capacity: int, interpret: bool = False):
 # stays in XLA as the exact nearest-previous-occurrence kv-sort (31 ms for
 # 8 MB -- tpucomp/codecs/lz77.py nearest_prev_occurrence, the collision-free
 # ideal of the reference's 2^14 hash table :557-561); the kernel replaces
-# the gather-bound dense LCP walk / parse / emit stages (3.5 s + 0.5 s +
-# 0.6 s for 8 MB) with a per-chunk sequential state machine:
+# the gather-bound dense LCP walk / parse / emit stages with K interleaved
+# per-chunk sequential state machines (same ILP scheme as decode):
 #
-#   - greedy parse over SMEM sliding windows of the candidate tables
-#     (next-match-position, offset), refilled by forward-only DMA -- the
-#     scalar-core form of the reference's hash probe loop
-#   - exact unbounded match extension by 512-byte VPU compares of the
-#     source data (lengthOfMatch, reference :592-617)
+#   - greedy parse over the candidate tables (next-match-position, offset)
+#     read by VMEM extract -- the scalar-core form of the reference's hash
+#     probe loop
+#   - exact unbounded match extension by 4KB VPU compares of the source
+#     data (lengthOfMatch, reference :592-617)
 #   - stream emission through the same head-register splice machinery as
 #     decompression (token/LSIC header and offset/LSIC tail vectors are
 #     constructed arithmetically per iteration)
@@ -612,26 +645,6 @@ def _shift_bytes_left(row, k):
 def _lsic_nb(v):
     """LSIC extension byte count for a length field value v (v >= 0)."""
     return jnp.where(v >= 15, (v - 15) // 255 + 1, 0)
-
-
-def _lsic_vec(first_bytes, v, total_len):
-    """[1,128] u32 byte stream: ``first_bytes`` literal bytes (list of
-    scalars), then the LSIC encoding of v (if v >= 15): (nb-1) 0xFF bytes
-    and a remainder byte.  total_len = len(first_bytes) + nb."""
-    nf = len(first_bytes)
-    nb = total_len - nf
-    rem = v - 15 - 255 * (nb - 1)
-    li = _li((1, ROWW))
-    words = jnp.zeros((1, ROWW), jnp.int32)
-    for t in range(4):
-        bidx = li * 4 + t
-        bv = jnp.zeros((1, ROWW), jnp.int32)
-        for fi, fb in enumerate(first_bytes):
-            bv = jnp.where(bidx == fi, fb & 0xFF, bv)
-        is_ext = (bidx >= nf) & (bidx < nf + nb)
-        bv = jnp.where(is_ext, jnp.where(bidx == nf + nb - 1, rem & 0xFF, 255), bv)
-        words = words | (bv << (8 * t))
-    return _u(words)
 
 
 def _first_diff(a, b):
@@ -668,272 +681,296 @@ def _field_tile(h, bi0, b0, b_last, flen, b1=None):
 
 
 def _lz4_encode_kernel(
-    rd: int, rt: int, ro: int, r_res: int, size_ref, wv_ref, nmp_ref, dist_ref,
-    out_ref
+    rd: int, rt: int, ro: int, r_res: int, K: int,
+    size_ref, wv_ref, nmp_ref, dist_ref, out_ref
 ):
-    n = size_ref[pl.program_id(0)]
+    """K chunks encode per grid cell through one interleaved loop (same
+    ILP rationale as _lz4_decode_kernel)."""
 
-    def get16(ref):
-        def get(r0):
-            return _u(ref[0, pl.ds(r0, 16), :])
+    def mk_chunk(k):
+        n = size_ref[pl.program_id(0) * K + k]
 
-        return get
+        def get16d(r0):
+            return _u(wv_ref[k, pl.ds(r0, 16), :])
 
-    read_data = lambda off_b: _read_win(get16(wv_ref), off_b + LEAD * ROWB)
+        read_data = lambda off_b: _read_win(get16d, off_b + LEAD * ROWB)
 
-    def tbl_at(ref, x):
-        # direct VMEM extract: the SMEM window + refill DMA this replaces
-        # cost ~100 us fixed latency per DMA (scripts/kernel_op_costs8.py)
-        e = jnp.clip(x, 0, rt * ROWW - 1)
-        return _extract_word(
-            lambda r: ref[0, pl.ds(jnp.clip(r, 0, rt - 1), 1), :], e
-        )
-
-    # carry: p(anchor), o, q, off, mlen, llen, hdr_rem, lit_rem, tail_rem,
-    #        ext_on, is_final, done, head, head_lo
-    def cond(c):
-        return ~c[11]
-
-    def body(c):
-        (p, o, q, off, mlen, llen, hdr_rem, lit_rem, tail_rem,
-         ext_on, is_final, done, head, head_lo) = c
-
-        # ---- parse branch (idle: nothing pending) -------------------------
-        idle = (
-            ~ext_on & (hdr_rem == 0) & (lit_rem == 0) & (tail_rem == 0) & ~done
-        )
-
-        def parse():
-            q2 = tbl_at(nmp_ref, p)
-            fin = q2 >= jnp.minimum(_SENT, n - 12)
-            q2c = jnp.where(fin, n, q2)
-            off2 = jnp.where(fin, 1, tbl_at(dist_ref, q2c))
-            # final: emit the tail literal run [p, n)
-            lf = n - p
-            hdrf = 1 + _lsic_nb(lf)
-            i32 = lambda v: jnp.asarray(v, jnp.int32)
-            return (
-                i32(q2c),
-                i32(off2),
-                i32(jnp.where(fin, 0, 4)),
-                i32(jnp.where(fin, lf, llen)),
-                i32(jnp.where(fin, hdrf, hdr_rem)),
-                i32(jnp.where(fin, lf, lit_rem)),
-                i32(tail_rem),
-                jnp.asarray(~fin, jnp.bool_),
-                jnp.asarray(fin, jnp.bool_),
+        def tbl_at(ref, x):
+            # direct VMEM extract; extracts of different chunks overlap
+            e = jnp.clip(x, 0, rt * ROWW - 1)
+            return _extract_word(
+                lambda r: ref[k, pl.ds(jnp.clip(r, 0, rt - 1), 1), :], e
             )
 
-        def no_parse():
-            i32 = lambda v: jnp.asarray(v, jnp.int32)
-            return (
-                i32(q), i32(off), i32(mlen), i32(llen), i32(hdr_rem),
-                i32(lit_rem), i32(tail_rem), jnp.asarray(ext_on, jnp.bool_),
-                jnp.asarray(is_final, jnp.bool_),
+        # carry: p(anchor), o, q, off, mlen, llen, hdr_rem, lit_rem,
+        #        tail_rem, ext_on, is_final, done, head, head_lo
+        def step(c):
+            (p, o, q, off, mlen, llen, hdr_rem, lit_rem, tail_rem,
+             ext_on, is_final, done, head, head_lo) = c
+
+            # ---- parse branch (idle: nothing pending) ---------------------
+            idle = (
+                ~ext_on & (hdr_rem == 0) & (lit_rem == 0) & (tail_rem == 0) & ~done
             )
 
-        q, off, mlen, llen, hdr_rem, lit_rem, tail_rem, ext_on, is_final = (
-            jax.lax.cond(idle, parse, no_parse)
-        )
-
-        # ---- extension (4KB window compares; runs right after its parse) --
-        def ext_round(mlen, llen, hdr_rem, lit_rem, tail_rem, ext_on):
-            def ext_branch():
-                a = read_data(q + mlen)
-                b = read_data(q + mlen - off)
-                d = _first_diff_tile(a, b)
-                limit = n - 5 - q
-                m2 = jnp.minimum(mlen + d, limit)
-                still = (d >= TB) & (m2 < limit)
-                llen2 = q - p
-                hdr2 = 1 + _lsic_nb(llen2)
-                tail2 = 2 + _lsic_nb(m2 - 4)
+            def parse():
+                q2 = tbl_at(nmp_ref, p)
+                fin = q2 >= jnp.minimum(_SENT, n - 12)
+                q2c = jnp.where(fin, n, q2)
+                off2 = jnp.where(fin, 1, tbl_at(dist_ref, q2c))
+                # final: emit the tail literal run [p, n)
+                lf = n - p
+                hdrf = 1 + _lsic_nb(lf)
                 i32 = lambda v: jnp.asarray(v, jnp.int32)
                 return (
-                    i32(m2),
-                    i32(jnp.where(still, llen, llen2)),
-                    i32(jnp.where(still, hdr_rem, hdr2)),
-                    i32(jnp.where(still, lit_rem, llen2)),
-                    i32(jnp.where(still, tail_rem, tail2)),
-                    jnp.asarray(still, jnp.bool_),
+                    i32(q2c),
+                    i32(off2),
+                    i32(jnp.where(fin, 0, 4)),
+                    i32(jnp.where(fin, lf, llen)),
+                    i32(jnp.where(fin, hdrf, hdr_rem)),
+                    i32(jnp.where(fin, lf, lit_rem)),
+                    i32(tail_rem),
+                    jnp.asarray(~fin, jnp.bool_),
+                    jnp.asarray(fin, jnp.bool_),
                 )
 
-            def no_ext():
+            def no_parse():
                 i32 = lambda v: jnp.asarray(v, jnp.int32)
                 return (
-                    i32(mlen), i32(llen), i32(hdr_rem), i32(lit_rem),
-                    i32(tail_rem), jnp.asarray(ext_on, jnp.bool_),
+                    i32(q), i32(off), i32(mlen), i32(llen), i32(hdr_rem),
+                    i32(lit_rem), i32(tail_rem), jnp.asarray(ext_on, jnp.bool_),
+                    jnp.asarray(is_final, jnp.bool_),
                 )
 
-            return jax.lax.cond(ext_on & ~done, ext_branch, no_ext)
-
-        mlen, llen, hdr_rem, lit_rem, tail_rem, ext_on = ext_round(
-            mlen, llen, hdr_rem, lit_rem, tail_rem, ext_on
-        )
-
-        pend_before = (hdr_rem > 0) | (lit_rem > 0) | (tail_rem > 0)
-
-        # ---- fast path: whole fresh sequence in one splice ---------------
-        # (header + literals + tail all unstarted and fitting the window)
-        hl_f = 1 + _lsic_nb(llen)
-        tl_full = jnp.where(is_final, 0, 2 + _lsic_nb(mlen - 4))
-        total_f = hl_f + llen + tl_full
-        h_f = o - head_lo
-        fresh = (
-            ~ext_on & ~done & pend_before
-            & (hdr_rem == hl_f) & (lit_rem == llen) & (tail_rem == tl_full)
-            & (total_f <= TB - h_f) & (total_f <= GMAX)
-        )
-
-        def fused_emit(args):
-            o, head, head_lo = args
-            h = o - head_lo
-            tok_m = jnp.where(is_final, 0, jnp.minimum(mlen - 4, 15))
-            token = (jnp.minimum(llen, 15) << 4) | tok_m
-            rem_b = llen - 15 - 255 * (hl_f - 2)
-            H = _field_tile(h, 0, token, rem_b, hl_f) & _byte_mask_tile(h, hl_f)
-            L = read_data(p - (h + hl_f) + 0) & _byte_mask_tile(h + hl_f, llen)
-            h2 = h + hl_f + llen
-            mrem = (mlen - 4) - 15 - 255 * (tl_full - 3)
-            T = _field_tile(h2, 0, off & 0xFF, mrem, tl_full, b1=(off >> 8) & 0xFF)
-            T = T & _byte_mask_tile(h2, tl_full)
-            m = _byte_mask_tile(h, total_f)
-            head = (head & ~m) | H | L | T
-            o = o + total_f
-
-            def flush(args):
-                head, head_lo = args
-                out_ref[0, pl.ds(LEAD + (head_lo >> 9), 8), :] = head
-                return jnp.zeros((8, ROWW), jnp.uint32), head_lo + TB
-
-            head, head_lo = jax.lax.cond(
-                o - head_lo >= TB, lambda: flush((head, head_lo)),
-                lambda: (head, head_lo),
+            q, off, mlen, llen, hdr_rem, lit_rem, tail_rem, ext_on, is_final = (
+                jax.lax.cond(idle, parse, no_parse)
             )
-            return o, head, head_lo
 
-        o, head, head_lo = jax.lax.cond(
-            fresh, fused_emit, lambda a: a, (o, head, head_lo)
-        )
-        hdr_rem = jnp.where(fresh, 0, hdr_rem)
-        lit_rem = jnp.where(fresh, 0, lit_rem)
-        tail_rem = jnp.where(fresh, 0, tail_rem)
+            # ---- extension (4KB window compares; right after its parse) ---
+            def ext_round(mlen, llen, hdr_rem, lit_rem, tail_rem, ext_on):
+                def ext_branch():
+                    a = read_data(q + mlen)
+                    b = read_data(q + mlen - off)
+                    d = _first_diff_tile(a, b)
+                    limit = n - 5 - q
+                    m2 = jnp.minimum(mlen + d, limit)
+                    still = (d >= TB) & (m2 < limit)
+                    llen2 = q - p
+                    hdr2 = 1 + _lsic_nb(llen2)
+                    tail2 = 2 + _lsic_nb(m2 - 4)
+                    i32 = lambda v: jnp.asarray(v, jnp.int32)
+                    return (
+                        i32(m2),
+                        i32(jnp.where(still, llen, llen2)),
+                        i32(jnp.where(still, hdr_rem, hdr2)),
+                        i32(jnp.where(still, lit_rem, llen2)),
+                        i32(jnp.where(still, tail_rem, tail2)),
+                        jnp.asarray(still, jnp.bool_),
+                    )
 
-        # ---- emission: up to three granules (header, literals, tail) -----
-        def emit_step(o, hdr_rem, lit_rem, tail_rem, head, head_lo):
-            h = o - head_lo
-            space = TB - h
-            do_hdr = hdr_rem > 0
-            do_lit = ~do_hdr & (lit_rem > 0)
-            do_tail = ~do_hdr & ~do_lit & (tail_rem > 0)
-            emitting = (do_hdr | do_lit | do_tail) & ~done & ~ext_on
+                def no_ext():
+                    i32 = lambda v: jnp.asarray(v, jnp.int32)
+                    return (
+                        i32(mlen), i32(llen), i32(hdr_rem), i32(lit_rem),
+                        i32(tail_rem), jnp.asarray(ext_on, jnp.bool_),
+                    )
 
-            def hdr_tile():
+                return jax.lax.cond(ext_on & ~done, ext_branch, no_ext)
+
+            mlen, llen, hdr_rem, lit_rem, tail_rem, ext_on = ext_round(
+                mlen, llen, hdr_rem, lit_rem, tail_rem, ext_on
+            )
+
+            pend_before = (hdr_rem > 0) | (lit_rem > 0) | (tail_rem > 0)
+
+            # ---- fast path: whole fresh sequence in one splice ------------
+            hl_f = 1 + _lsic_nb(llen)
+            tl_full = jnp.where(is_final, 0, 2 + _lsic_nb(mlen - 4))
+            total_f = hl_f + llen + tl_full
+            h_f = o - head_lo
+            fresh = (
+                ~ext_on & ~done & pend_before
+                & (hdr_rem == hl_f) & (lit_rem == llen) & (tail_rem == tl_full)
+                & (total_f <= TB - h_f) & (total_f <= GMAX)
+            )
+
+            def fused_emit(args):
+                o, head, head_lo = args
+                h = o - head_lo
                 tok_m = jnp.where(is_final, 0, jnp.minimum(mlen - 4, 15))
                 token = (jnp.minimum(llen, 15) << 4) | tok_m
-                hl = 1 + _lsic_nb(llen)
-                rem_b = llen - 15 - 255 * (hl - 2)
-                return (
-                    _field_tile(h, hl - hdr_rem, token, rem_b, hl),
-                    jnp.asarray(hdr_rem, jnp.int32),
+                rem_b = llen - 15 - 255 * (hl_f - 2)
+                H = _field_tile(h, 0, token, rem_b, hl_f) & _byte_mask_tile(h, hl_f)
+                L = read_data(p - (h + hl_f) + 0) & _byte_mask_tile(h + hl_f, llen)
+                h2 = h + hl_f + llen
+                mrem = (mlen - 4) - 15 - 255 * (tl_full - 3)
+                T = _field_tile(h2, 0, off & 0xFF, mrem, tl_full, b1=(off >> 8) & 0xFF)
+                T = T & _byte_mask_tile(h2, tl_full)
+                m = _byte_mask_tile(h, total_f)
+                head = (head & ~m) | H | L | T
+                o = o + total_f
+
+                def flush(args):
+                    head, head_lo = args
+                    out_ref[k, pl.ds(LEAD + (head_lo >> 9), 8), :] = head
+                    return jnp.zeros((8, ROWW), jnp.uint32), head_lo + TB
+
+                head, head_lo = jax.lax.cond(
+                    o - head_lo >= TB, lambda: flush((head, head_lo)),
+                    lambda: (head, head_lo),
                 )
+                return o, head, head_lo
 
-            def tail_tile():
-                tl = 2 + _lsic_nb(mlen - 4)
-                mrem = (mlen - 4) - 15 - 255 * (tl - 3)
-                return (
-                    _field_tile(
-                        h, tl - tail_rem, off & 0xFF, mrem, tl, b1=(off >> 8) & 0xFF
-                    ),
-                    jnp.asarray(tail_rem, jnp.int32),
-                )
-
-            def lit_tile():
-                src = p + (llen - lit_rem)
-                return read_data(src - h), jnp.asarray(lit_rem, jnp.int32)
-
-            V, rem = jax.lax.cond(
-                do_hdr, hdr_tile, lambda: jax.lax.cond(do_lit, lit_tile, tail_tile)
+            o, head, head_lo = jax.lax.cond(
+                fresh, fused_emit, lambda a: a, (o, head, head_lo)
             )
-            g = jnp.minimum(jnp.minimum(rem, space), GMAX)
-            g = jnp.where(emitting & (g > 0), g, 0)
-            m = _byte_mask_tile(h, g)
-            head = (head & ~m) | (V & m)
-            o = o + g
-            hdr_rem = jnp.where(do_hdr, hdr_rem - g, hdr_rem)
-            lit_rem = jnp.where(do_lit, lit_rem - g, lit_rem)
-            tail_rem = jnp.where(do_tail, tail_rem - g, tail_rem)
+            hdr_rem = jnp.where(fresh, 0, hdr_rem)
+            lit_rem = jnp.where(fresh, 0, lit_rem)
+            tail_rem = jnp.where(fresh, 0, tail_rem)
 
-            def flush(args):
-                head, head_lo = args
-                out_ref[0, pl.ds(LEAD + (head_lo >> 9), 8), :] = head
-                return jnp.zeros((8, ROWW), jnp.uint32), head_lo + TB
+            # ---- emission: up to three granules (header, literals, tail) --
+            def emit_step(o, hdr_rem, lit_rem, tail_rem, head, head_lo):
+                h = o - head_lo
+                space = TB - h
+                do_hdr = hdr_rem > 0
+                do_lit = ~do_hdr & (lit_rem > 0)
+                do_tail = ~do_hdr & ~do_lit & (tail_rem > 0)
+                emitting = (do_hdr | do_lit | do_tail) & ~done & ~ext_on
 
-            head, head_lo = jax.lax.cond(
-                o - head_lo >= TB, lambda: flush((head, head_lo)),
-                lambda: (head, head_lo),
-            )
-            return o, hdr_rem, lit_rem, tail_rem, head, head_lo
+                def hdr_tile():
+                    tok_m = jnp.where(is_final, 0, jnp.minimum(mlen - 4, 15))
+                    token = (jnp.minimum(llen, 15) << 4) | tok_m
+                    hl = 1 + _lsic_nb(llen)
+                    rem_b = llen - 15 - 255 * (hl - 2)
+                    return (
+                        _field_tile(h, hl - hdr_rem, token, rem_b, hl),
+                        jnp.asarray(hdr_rem, jnp.int32),
+                    )
 
-        def three_steps(args):
-            o, hdr_rem, lit_rem, tail_rem, head, head_lo = args
-            for _ in range(3):
-                o, hdr_rem, lit_rem, tail_rem, head, head_lo = emit_step(
-                    o, hdr_rem, lit_rem, tail_rem, head, head_lo
+                def tail_tile():
+                    tl = 2 + _lsic_nb(mlen - 4)
+                    mrem = (mlen - 4) - 15 - 255 * (tl - 3)
+                    return (
+                        _field_tile(
+                            h, tl - tail_rem, off & 0xFF, mrem, tl, b1=(off >> 8) & 0xFF
+                        ),
+                        jnp.asarray(tail_rem, jnp.int32),
+                    )
+
+                def lit_tile():
+                    src = p + (llen - lit_rem)
+                    return read_data(src - h), jnp.asarray(lit_rem, jnp.int32)
+
+                V, rem = jax.lax.cond(
+                    do_hdr, hdr_tile, lambda: jax.lax.cond(do_lit, lit_tile, tail_tile)
                 )
-            return (o, hdr_rem, lit_rem, tail_rem, head, head_lo)
+                g = jnp.minimum(jnp.minimum(rem, space), GMAX)
+                g = jnp.where(emitting & (g > 0), g, 0)
+                m = _byte_mask_tile(h, g)
+                head = (head & ~m) | (V & m)
+                o = o + g
+                hdr_rem = jnp.where(do_hdr, hdr_rem - g, hdr_rem)
+                lit_rem = jnp.where(do_lit, lit_rem - g, lit_rem)
+                tail_rem = jnp.where(do_tail, tail_rem - g, tail_rem)
 
-        pend_mid = (hdr_rem > 0) | (lit_rem > 0) | (tail_rem > 0)
-        o, hdr_rem, lit_rem, tail_rem, head, head_lo = jax.lax.cond(
-            pend_mid & ~ext_on & ~done,
-            three_steps,
-            lambda a: a,
-            (o, hdr_rem, lit_rem, tail_rem, head, head_lo),
+                def flush(args):
+                    head, head_lo = args
+                    out_ref[k, pl.ds(LEAD + (head_lo >> 9), 8), :] = head
+                    return jnp.zeros((8, ROWW), jnp.uint32), head_lo + TB
+
+                head, head_lo = jax.lax.cond(
+                    o - head_lo >= TB, lambda: flush((head, head_lo)),
+                    lambda: (head, head_lo),
+                )
+                return o, hdr_rem, lit_rem, tail_rem, head, head_lo
+
+            def three_steps(args):
+                o, hdr_rem, lit_rem, tail_rem, head, head_lo = args
+                for _ in range(3):
+                    o, hdr_rem, lit_rem, tail_rem, head, head_lo = emit_step(
+                        o, hdr_rem, lit_rem, tail_rem, head, head_lo
+                    )
+                return (o, hdr_rem, lit_rem, tail_rem, head, head_lo)
+
+            pend_mid = (hdr_rem > 0) | (lit_rem > 0) | (tail_rem > 0)
+            o, hdr_rem, lit_rem, tail_rem, head, head_lo = jax.lax.cond(
+                pend_mid & ~ext_on & ~done,
+                three_steps,
+                lambda a: a,
+                (o, hdr_rem, lit_rem, tail_rem, head, head_lo),
+            )
+
+            pend_after = (hdr_rem > 0) | (lit_rem > 0) | (tail_rem > 0)
+            completed = pend_before & ~pend_after & ~ext_on & ~done
+            done = done | (completed & is_final)
+            p = jnp.where(completed & ~is_final, q + mlen, p)
+
+            return (p, o, q, off, mlen, llen, hdr_rem, lit_rem, tail_rem,
+                    ext_on, is_final, done, head, head_lo)
+
+        init = (
+            jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(1), jnp.int32(0),
+            jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            jnp.bool_(False), jnp.bool_(False), n <= 0,
+            jnp.zeros((8, ROWW), jnp.uint32), jnp.int32(0),
         )
 
-        pend_after = (hdr_rem > 0) | (lit_rem > 0) | (tail_rem > 0)
-        completed = pend_before & ~pend_after & ~ext_on & ~done
-        done = done | (completed & is_final)
-        p = jnp.where(completed & ~is_final, q + mlen, p)
+        def finalize(c):
+            o, head, head_lo = c[1], c[12], c[13]
 
-        return (p, o, q, off, mlen, llen, hdr_rem, lit_rem, tail_rem,
-                ext_on, is_final, done, head, head_lo)
+            @pl.when(o > head_lo)
+            def _():
+                out_ref[k, pl.ds(LEAD + (head_lo >> 9), 8), :] = head
 
-    init = (
-        jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(1), jnp.int32(0),
-        jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-        jnp.bool_(False), jnp.bool_(False), n <= 0,
-        jnp.zeros((8, ROWW), jnp.uint32), jnp.int32(0),
-    )
-    out = jax.lax.while_loop(cond, body, init)
-    o, head, head_lo = out[1], out[12], out[13]
+            li = _li((1, ROWW))
+            out_ref[k, r_res : r_res + 1, :] = _u(jnp.where(li == 0, o, 0))
 
-    @pl.when(o > head_lo)
-    def _():
-        out_ref[0, pl.ds(LEAD + (head_lo >> 9), 8), :] = head
+        return init, step, finalize
 
-    li = _li((1, ROWW))
-    out_ref[0, r_res : r_res + 1, :] = _u(jnp.where(li == 0, o, 0))
+    chunks = [mk_chunk(k) for k in range(K)]
+
+    def cond(cs):
+        a = ~cs[0][11]
+        for c in cs[1:]:
+            a = a | ~c[11]
+        return a
+
+    def body(cs):
+        return tuple(
+            jax.lax.cond(~c[11], chunks[k][1], lambda c: c, c)
+            for k, c in enumerate(cs)
+        )
+
+    finals = jax.lax.while_loop(cond, body, tuple(ch[0] for ch in chunks))
+    for k, c in enumerate(finals):
+        chunks[k][2](c)
 
 
 def supports_compress(capacity: int) -> bool:
     return capacity >= 1
 
 
-@functools.partial(jax.jit, static_argnames=("stride", "interpret"))
-def compress(data, lengths, stride: int = 1, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("stride", "interpret", "kpack"))
+def compress(data, lengths, stride: int = 1, interpret: bool = False,
+             kpack: int = 4):
     """Batched LZ4 compression on the Pallas path.
 
     data: uint8[B, C]; lengths: int32[B].  Returns (comp uint8[B, CMAX],
     comp_sizes int32[B]); streams are the pure greedy parse with exact
     nearest-previous-occurrence matches (== the uncapped sequential oracle).
+    ``kpack`` chunks share a grid cell and encode interleaved.
     """
     from tpucomp.codecs import lz77
     from tpucomp.core.sizing import lz4_max_compressed_chunk_size
     from tpucomp.utils import bits
 
     b, c = data.shape
+    K = max(1, min(kpack, b))
+    bp = _rup(b, K)
     lengths = lengths.astype(jnp.int32)
+    if bp != b:
+        data = jnp.concatenate([data, jnp.zeros((bp - b, c), jnp.uint8)], axis=0)
+        lengths = jnp.concatenate([lengths, jnp.zeros((bp - b,), jnp.int32)])
     out_max = lz4_max_compressed_chunk_size(c)
     ro = _cdiv(out_max, ROWB)
     r_res = LEAD + _rup(ro, 8) + 16
@@ -960,37 +997,38 @@ def compress(data, lengths, stride: int = 1, interpret: bool = False):
     def pad_tbl(t, fill):
         padn = rt * ROWW - c
         if padn:
-            t = jnp.concatenate([t, jnp.full((b, padn), fill, jnp.int32)], axis=1)
-        return t.reshape(b, rt, ROWW)
+            t = jnp.concatenate([t, jnp.full((bp, padn), fill, jnp.int32)], axis=1)
+        return t.reshape(bp, rt, ROWW)
 
     nmp_t = pad_tbl(nmp, _SENT)
     dist_t = pad_tbl(dist, 1)
 
     padd = rw * ROWB - c - LEAD * ROWB
-    lead = jnp.zeros((b, LEAD * ROWB), jnp.uint8)
-    dd = jnp.concatenate([lead, data, jnp.zeros((b, padd), jnp.uint8)], axis=1)
-    wv = bits.bytes_to_units_le(dd, 4).astype(jnp.int32).reshape(b, rw, ROWW)
+    lead = jnp.zeros((bp, LEAD * ROWB), jnp.uint8)
+    dd = jnp.concatenate([lead, data, jnp.zeros((bp, padd), jnp.uint8)], axis=1)
+    wv = bits.bytes_to_units_le(dd, 4).astype(jnp.int32).reshape(bp, rw, ROWW)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
+        grid=(bp // K,),
         in_specs=[
-            pl.BlockSpec((1, rw, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rt, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rt, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, rw, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, rt, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, rt, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, rto, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+            (K, rto, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
         ),
     )
     out = pl.pallas_call(
-        functools.partial(_lz4_encode_kernel, rd, rt, ro, r_res),
+        functools.partial(_lz4_encode_kernel, rd, rt, ro, r_res, K),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, rto, ROWW), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((bp, rto, ROWW), jnp.uint32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
     )(lengths, wv, nmp_t, dist_t)
 
+    out = out[:b]
     sizes = out[:, r_res, 0].astype(jnp.int32)
     comp = bits.units_to_bytes_le(
         out[:, LEAD : LEAD + ro].reshape(b, ro * ROWW)
