@@ -52,7 +52,9 @@ mb = B * C / 1e6
 
 
 def tput(name, fn, reps=6):
-    fn()
+    r = fn()
+    # sync the warmup so its device tail is not charged to the timed window
+    jax.device_get(jax.tree_util.tree_leaves(r)[-1].ravel()[:2])
     t0 = time.perf_counter()
     for _ in range(reps):
         r = fn()

@@ -22,7 +22,6 @@ rng = np.random.default_rng(0)
 C = 65536
 B = 256
 opts = CascadedOpts()
-lay = cp._DLayout(opts, cp._rup(C + 520, 4), C)  # approx; recomputed below
 
 raw = np.repeat(
     rng.integers(0, 50, C * B // 4), rng.integers(1, 9, C * B // 4)

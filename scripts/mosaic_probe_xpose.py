@@ -39,7 +39,7 @@ r = try_call("bitcast u8(32,128)->u32", lambda: jax.jit(lambda v: pl.pallas_call
     out_shape=jax.ShapeDtypeStruct((8, 128), jnp.uint32),
     in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
     out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-))(v))(by))
+)(v))(by))
 if r is not None:
     w = np.asarray(r)
     src = np.asarray(by).astype(np.uint32)

@@ -323,7 +323,18 @@ def _jit_materialize(comp, seqs, s, total, ok, out_cap):
 
 def decompress(comp, comp_sizes, opts=None, out_capacity: int = 65536):
     """Batched snappy decompression.
-    Returns (data uint8[B, out_capacity], lengths int32[B], statuses)."""
+    Returns (data uint8[B, out_capacity], lengths int32[B], statuses).
+
+    Routes to the Pallas TPU kernel (kernels/snappy_pallas.py, scalar-core
+    branch-free element parse + VPU granule copies) when enabled;
+    identical results."""
+    from tpucomp import config as _cfg
+
+    if _cfg.pallas_enabled():
+        from tpucomp.kernels import snappy_pallas as _snp
+
+        if _snp.supports_decode(out_capacity):
+            return _snp.decompress(comp, comp_sizes, out_capacity)
     s_max = comp.shape[-1] // 2 + 2
     seqs, s, total, ok, _ = _jit_delimit(comp, comp_sizes, out_capacity, s_max)
     return _jit_materialize(comp, seqs, s, total, ok, out_capacity)

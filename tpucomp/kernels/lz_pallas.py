@@ -302,105 +302,148 @@ def _fill_tile(P, per):
 # ---------------------------------------------------------------------------
 
 
+def _align32_16(t32, kw, kb):
+    """(16,128) u32 tile whose flat byte j = t32's flat byte (4*kw + kb + j).
+
+    t32: (32,128) u32; kw traced in [0,128); kb traced in [0,4).
+    Cost: one dynamic + one static lane roll (same as _align16)."""
+    a = pltpu.roll(t32, (-kw) % ROWW, axis=1)
+    b = pltpu.roll(a, ROWW - 1, axis=1)  # == roll of t32 by -(kw+1)
+    li = _li((16, ROWW))
+    w0 = jnp.where(li < ROWW - kw, a[0:16], a[1:17])
+    w1 = jnp.where(li < ROWW - 1 - kw, b[0:16], b[1:17])
+    sh = 8 * _u(kb)
+    return jnp.where(kb > 0, (_u(w0) >> sh) | (_u(w1) << (32 - sh)), _u(w0))
+
+
+def _read_win16(get32, off_b):
+    """(16,128) u32: flat byte j = padded-stream byte (off_b + j), j < 8192.
+
+    ``get32(r0)`` returns 32 consecutive u32 rows from row r0 (callers pad
+    refs so r0+32 stays in bounds).  off_b traced >= 0."""
+    r0 = off_b >> 9
+    t32 = get32(r0)
+    rem = off_b - r0 * 512
+    return _align32_16(t32, rem >> 2, off_b & 3)
+
+
+def _byte_mask16(lo, n):
+    """(16,128) u32 mask with flat bytes [lo, lo+n) set."""
+    b0 = (_si((16, ROWW)) * ROWW + _li((16, ROWW))) * 4
+    a = jnp.clip(lo - b0, 0, 4)
+    b = jnp.clip(lo + n - b0, 0, 4)
+    nb = b - a
+    m = jnp.where(
+        nb >= 4,
+        jnp.uint32(0xFFFFFFFF),
+        ((jnp.uint32(1) << (8 * _u(nb))) - 1) << (8 * _u(a)),
+    )
+    return jnp.where(nb > 0, m, jnp.uint32(0))
+
+
+def _granule_mover(k, get32u, u_ref, ob_rows: int, gm: int = TB):
+    """Predicated literal/match granule move via direct 16-row RMW of the
+    output (shared by the LZ4 and Snappy decode kernels).
+
+    v4: the compressed stream and the output live in ONE buffer (``u_ref``;
+    stream rows [0, ob_rows), output rows [ob_rows, ...) with its own LEAD),
+    so literal and match sources collapse into a single window read at a
+    selected absolute offset -- 2 lane rolls per granule instead of 4.
+
+    State contract: (o write pos, rem_lit, lit_src, rem_m, m_ext, ok);
+    matches copy from (o - m_ext) with extent doubling (see
+    _lz4_decode_kernel docstring)."""
+    outb = (ob_rows + LEAD) * ROWB  # output byte 0, as a u_ref byte offset
+
+    def move_granule(o, rem_lit, lit_src, rem_m, m_ext, ok):
+        do_lit = rem_lit > 0
+        pend = do_lit | (rem_m > 0)
+        g = jnp.minimum(
+            jnp.where(do_lit, rem_lit, jnp.minimum(rem_m, m_ext)), gm
+        )
+        g = jnp.where(ok & pend, g, 0)
+        r0 = o >> 9
+        h = o - r0 * 512
+        # clamp: a corrupt stream can leave m_ext > o before ok kills the
+        # chunk; the masked write is dead but the read must stay in bounds
+        src = jnp.where(
+            do_lit,
+            LEAD * ROWB + lit_src,
+            outb + jnp.maximum(o - m_ext, 0),
+        )
+        W = _read_win16(get32u, src - h)
+        cur = _u(u_ref[k, pl.ds(ob_rows + LEAD + r0, 16), :])
+        m = _byte_mask16(h, g)
+        u_ref[k, pl.ds(ob_rows + LEAD + r0, 16), :] = (
+            (cur & ~m) | (W & m)
+        ).astype(u_ref.dtype)
+        # extent doubles only on a full-extent copy (keeps e % d == 0)
+        m_ext = jnp.where(~do_lit & (g == m_ext), m_ext * 2, m_ext)
+        o = o + g
+        rem_lit = jnp.where(do_lit, rem_lit - g, rem_lit)
+        lit_src = jnp.where(do_lit, lit_src + g, lit_src)
+        rem_m = jnp.where(do_lit, rem_m, rem_m - g)
+        return o, rem_lit, lit_src, rem_m, m_ext
+
+    return move_granule
+
+
 def _lz4_decode_kernel(
     rc: int, rw: int, rt: int, r_res: int, out_cap: int, K: int,
-    size_ref, wv_ref, out_ref
+    size_ref, in_ref, uv_ref, ws_ref, sem, probe_no_lsic: bool = False
 ):
-    """rc: stream data rows; rw: padded stream rows (LEAD + rc + 16);
-    rt: total output rows; r_res: result-row index in the output tile.
+    """rc: stream data rows; rw: padded stream rows (LEAD + rc + 32);
+    rt: output-region rows; r_res: result-row index within the output
+    region.  ``uv_ref`` is ONE aliased in/out buffer per chunk: stream
+    rows [0, rw), output region rows [rw, rw + rt) with its own LEAD
+    (v4 -- the unified buffer lets every granule move pay a single
+    window read; see _granule_mover).
 
-    K chunks decode per grid cell through ONE interleaved loop: each
-    iteration advances K independent per-chunk state machines.  The
-    dependent-chain costs that bound a single chunk (window read ~310 ns,
-    tile rotation ~320 ns, cross-lane reduce ~210 ns) are pipeline
-    latencies, not issue costs: 8 independent chains pay ~1.3x the cost
-    of one (scripts/ilp_probe.py), so interleaving recovers most of the
-    sequence-rate bound of the round-2 one-chunk-per-cell kernel.  The
-    scalar parser reads stream bytes by VMEM extract (_extract_word)
-    instead of a staged SMEM copy: the extracts of different chunks
-    overlap, and the per-cell staging DMA disappears."""
+    v3 design rules learned on hardware (scripts/ilp_probe.py and the
+    round-3 lax.cond regression):
+
+      - lane-crossing dependent chains are pipeline latencies (8
+        independent chains cost ~1.3x one), BUT only inside one basic
+        block: per-chunk work wrapped in lax.cond lives in scf.if regions
+        Mosaic cannot software-pipeline across.  So the hot path is pure
+        predication (selects); the only branches left are the rare LSIC
+        255-run scans.
+      - the round-2 head-register tile + flush branches are replaced by a
+        direct 16-row read-modify-write of the VMEM output at the write
+        row: dynamic sublane reads/writes are ~free, and every granule
+        becomes load/splice/store with no flush bookkeeping.
+      - self-overlapping matches use extent doubling instead of the
+        periodic-fill tile: a match at offset d keeps a source extent e
+        (init d, doubling while fully copied); copying g <= e bytes from
+        (o - e) is always exact because e stays a multiple of d and the
+        zone behind o is d-periodic.  Offset-1 runs cost log2 extra
+        iterations instead of a 10-roll fill pipeline.
+      - the scalar parser reads from one SMEM staging of all K streams
+        (one DMA per cell); scalar-unit loads run off the critical vector
+        path and their 8 chains interleave.
+    """
     nsb = rc * ROWB  # parser-addressable stream bytes
+
+    # stage all K streams into SMEM with one DMA
+    cp = pltpu.make_async_copy(uv_ref.at[:, pl.ds(LEAD, rc), :], ws_ref, sem)
+    cp.start()
+    cp.wait()
+
+    GM = TB  # granule cap; 16-row RMW covers 4096+511 at any offset
 
     def mk_chunk(k):
         comp_len = size_ref[pl.program_id(0) * K + k]
 
         def get16d(r0):
-            return _u(wv_ref[k, pl.ds(r0, 16), :])
+            return _u(uv_ref[k, pl.ds(r0, 16), :])
 
-        def get16o(r0):
-            return _u(out_ref[k, pl.ds(r0, 16), :])
+        def get32u(r0):
+            return _u(uv_ref[k, pl.ds(r0, 32), :])
 
         def byte_at(q):
             qc = jnp.clip(q, 0, nsb - 1) >> 2
-            w = _extract_word(
-                lambda r: wv_ref[k, pl.ds(LEAD + jnp.clip(r, 0, rc - 1), 1), :], qc
-            )
+            w = ws_ref[k, qc >> 7, qc & (ROWW - 1)]
             return (w >> (8 * (q & 3))) & 0xFF
-
-        def move_granule(o, rem_lit, lit_src, rem_m, m_off, ok, head, head_lo):
-            h = o - head_lo
-            space = TB - h
-            do_lit = rem_lit > 0
-            pend = (rem_lit > 0) | (rem_m > 0)
-            gmax = jnp.where(do_lit, rem_lit, rem_m)
-            g = jnp.minimum(jnp.minimum(gmax, space), GMAX)
-            src = jnp.where(do_lit, lit_src, o - m_off)
-            from_head = ~do_lit & (src >= head_lo)
-            # shrink a match granule to the window boundary if it straddles
-            g = jnp.where(
-                ~do_lit & (src < head_lo) & (src + g > head_lo), head_lo - src, g
-            )
-            need_fill = ~do_lit & (m_off < g)
-            g = jnp.where(ok & pend & (g > 0), g, 0)
-
-            def direct():
-                # source read directly at output alignment: window at src - h
-                def lit():
-                    return _read_win(get16d, src - h + LEAD * ROWB)
-
-                def mat():
-                    def mhead():
-                        return _rot_tile(head, (src - head_lo - h) % TB)
-
-                    def mvmem():
-                        return _read_win(get16o, src - h + LEAD * ROWB)
-
-                    return jax.lax.cond(from_head, mhead, mvmem)
-
-                return jax.lax.cond(do_lit, lit, mat)
-
-            def filled():
-                # src-aligned pattern read -> periodic fill -> out alignment
-                def phead():
-                    return _rot_tile(head, (src - head_lo) % TB)
-
-                def pvmem():
-                    return _read_win(get16o, src + LEAD * ROWB)
-
-                P = jax.lax.cond(from_head, phead, pvmem)
-                F = _fill_tile(P, jnp.maximum(m_off, 1))
-                return _rot_tile(F, (TB - h) % TB)
-
-            W = jax.lax.cond(need_fill, filled, direct)
-            m = _byte_mask_tile(h, g)
-            head = (head & ~m) | (W & m)
-
-            o = o + g
-            rem_lit = jnp.where(do_lit, rem_lit - g, rem_lit)
-            lit_src = jnp.where(do_lit, lit_src + g, lit_src)
-            rem_m = jnp.where(do_lit, rem_m, rem_m - g)
-
-            def flush(args):
-                head, head_lo = args
-                r = LEAD + (head_lo >> 9)
-                out_ref[k, pl.ds(r, 8), :] = head
-                return jnp.zeros((8, ROWW), jnp.uint32), head_lo + TB
-
-            head, head_lo = jax.lax.cond(
-                o - head_lo >= TB, lambda: flush((head, head_lo)),
-                lambda: (head, head_lo),
-            )
-            return o, rem_lit, lit_src, rem_m, ok, head, head_lo
 
         def lsic(q0):
             # vectorized 255-run scan: one 4KB window read + first-non-FF
@@ -423,59 +466,63 @@ def _lz4_decode_kernel(
             )
             return jnp.asarray(q + 1, jnp.int32), jnp.asarray(acc + byte_at(q), jnp.int32)
 
-        def step(c):
-            p, o, rem_lit, lit_src, rem_m, m_off, last_seen, ok, head, head_lo = c
-            no_pending = (rem_lit == 0) & (rem_m == 0)
+        move_granule = _granule_mover(k, get32u, uv_ref, rw, GM)
 
-            # ---- a) parse next sequence (scalar core) --------------------
-            def parse():
-                token = byte_at(p)
-                lnib = token >> 4
+        def step(c):
+            p, o, rem_lit, lit_src, rem_m, m_ext, last_seen, ok = c
+            no_pending = (rem_lit == 0) & (rem_m == 0)
+            do_parse = no_pending & ~last_seen & ok
+
+            # ---- a) speculative parse (scalar chains; commit by select) --
+            token = byte_at(p)
+            lnib = token >> 4
+            mnib = token & 15
+            if probe_no_lsic:
+                # timing probe: LSIC handled as if absent (WRONG results on
+                # streams with 255-run lengths; measures the lax.cond
+                # scheduling-barrier cost -- see PERF.md round 3)
+                qe, lext = jnp.asarray(p + 1, jnp.int32), jnp.int32(0)
+            else:
                 qe, lext = jax.lax.cond(
-                    lnib == 15,
+                    do_parse & (lnib == 15),
                     lambda: lsic(p + 1),
                     lambda: (jnp.asarray(p + 1, jnp.int32), jnp.int32(0)),
                 )
-                llen = jnp.where(lnib == 15, 15 + lext, lnib)
-                src = qe
-                q = src + llen
-                is_last = q >= comp_len
-                off = byte_at(q) | (byte_at(q + 1) << 8)
-                mnib = token & 15
-                qm, mext = jax.lax.cond(
-                    (mnib == 15) & ~is_last,
+            llen = jnp.where(lnib == 15, 15 + lext, lnib)
+            src = qe
+            q = src + llen
+            is_last = q >= comp_len
+            off = byte_at(q) | (byte_at(q + 1) << 8)
+            if probe_no_lsic:
+                qm, mxb = jnp.asarray(q + 2, jnp.int32), jnp.int32(0)
+            else:
+                qm, mxb = jax.lax.cond(
+                    do_parse & (mnib == 15) & ~is_last,
                     lambda: lsic(q + 2),
                     lambda: (jnp.asarray(q + 2, jnp.int32), jnp.int32(0)),
                 )
-                mlen = jnp.where(is_last, 0, 4 + jnp.where(mnib == 15, 15 + mext, mnib))
-                step_ok = q <= comp_len
-                step_ok &= is_last | ((off >= 1) & (off <= o + llen))
-                step_ok &= is_last | (qm <= comp_len)
-                step_ok &= o + llen + mlen <= out_cap
-                p2 = jnp.where(is_last, comp_len, qm)
-                return p2, llen, src, mlen, off, is_last, step_ok
+            mlen = jnp.where(is_last, 0, 4 + jnp.where(mnib == 15, 15 + mxb, mnib))
+            step_ok = q <= comp_len
+            step_ok &= is_last | ((off >= 1) & (off <= o + llen))
+            step_ok &= is_last | (qm <= comp_len)
+            step_ok &= o + llen + mlen <= out_cap
 
-            p2, nl, nls, nm, noff, nlast, pok = jax.lax.cond(
-                no_pending,
-                parse,
-                lambda: (p, rem_lit, lit_src, rem_m, m_off, last_seen, ok),
-            )
-            rem_lit = jnp.where(no_pending, nl, rem_lit)
-            lit_src = jnp.where(no_pending, nls, lit_src)
-            rem_m = jnp.where(no_pending, nm, rem_m)
-            m_off = jnp.where(no_pending, noff, m_off)
-            last_seen = jnp.where(no_pending, nlast | last_seen, last_seen)
-            ok = ok & pok
+            p = jnp.where(do_parse, jnp.where(is_last, comp_len, qm), p)
+            rem_lit = jnp.where(do_parse, llen, rem_lit)
+            lit_src = jnp.where(do_parse, src, lit_src)
+            rem_m = jnp.where(do_parse, mlen, rem_m)
+            m_ext = jnp.where(do_parse, jnp.maximum(off, 1), m_ext)
+            last_seen = last_seen | (do_parse & is_last)
+            ok = ok & (step_ok | ~do_parse)
 
-            # ---- b) move up to two granules (literal then match) ---------
-            o, rem_lit, lit_src, rem_m, ok, head, head_lo = move_granule(
-                o, rem_lit, lit_src, rem_m, m_off, ok, head, head_lo
+            # ---- b) two predicated granule moves (literal, then match) ---
+            o, rem_lit, lit_src, rem_m, m_ext = move_granule(
+                o, rem_lit, lit_src, rem_m, m_ext, ok
             )
-            o, rem_lit, lit_src, rem_m, ok, head, head_lo = move_granule(
-                o, rem_lit, lit_src, rem_m, m_off, ok, head, head_lo
+            o, rem_lit, lit_src, rem_m, m_ext = move_granule(
+                o, rem_lit, lit_src, rem_m, m_ext, ok
             )
-
-            return (p2, o, rem_lit, lit_src, rem_m, m_off, last_seen, ok, head, head_lo)
+            return (p, o, rem_lit, lit_src, rem_m, m_ext, last_seen, ok)
 
         init = (
             jnp.int32(0),
@@ -483,29 +530,20 @@ def _lz4_decode_kernel(
             jnp.int32(0),
             jnp.int32(0),
             jnp.int32(0),
-            jnp.int32(0),
+            jnp.int32(1),
             comp_len <= 0,
             comp_len >= 0,
-            jnp.zeros((8, ROWW), jnp.uint32),
-            jnp.int32(0),
         )
 
         def finalize(c):
-            o, ok, head, head_lo = c[1], c[7], c[8], c[9]
-
-            # final flush of the partial window
-            @pl.when(ok & (o > head_lo))
-            def _():
-                out_ref[k, pl.ds(LEAD + (head_lo >> 9), 8), :] = head
-
-            # length and status ride a dedicated result row past the flush
+            o, ok = c[1], c[7]
             li = _li((1, ROWW))
             lengths = jnp.where(ok, o, 0)
             status = jnp.where(
                 ok, int(Status.SUCCESS), int(Status.ERROR_CANNOT_DECOMPRESS)
             )
             resrow = jnp.where(li == 0, lengths, jnp.where(li == 1, status, 0))
-            out_ref[k, r_res : r_res + 1, :] = _u(resrow)
+            uv_ref[k, rw + r_res : rw + r_res + 1, :] = resrow.astype(uv_ref.dtype)
 
         return init, step, finalize
 
@@ -521,10 +559,7 @@ def _lz4_decode_kernel(
         return a
 
     def body(cs):
-        return tuple(
-            jax.lax.cond(active(c), chunks[k][1], lambda c: c, c)
-            for k, c in enumerate(cs)
-        )
+        return tuple(chunks[k][1](c) for k, c in enumerate(cs))
 
     finals = jax.lax.while_loop(cond, body, tuple(ch[0] for ch in chunks))
     for k, c in enumerate(finals):
@@ -539,9 +574,9 @@ def supports_decode(out_capacity: int) -> bool:
     return out_capacity >= 1
 
 
-@functools.partial(jax.jit, static_argnames=("out_capacity", "interpret", "kpack"))
+@functools.partial(jax.jit, static_argnames=("out_capacity", "interpret", "kpack", "probe_no_lsic"))
 def decompress(comp, comp_sizes, out_capacity: int, interpret: bool = False,
-               kpack: int = 8):
+               kpack: int = 8, probe_no_lsic: bool = False):
     """Batched LZ4 decompression on the Pallas path.
 
     comp: uint8[B, CMAX]; comp_sizes: int32[B].  Returns (data uint8[B,
@@ -557,42 +592,49 @@ def decompress(comp, comp_sizes, out_capacity: int, interpret: bool = False,
     # stream data rows padded to 8 sublanes: an unaligned-sublane VMEM->SMEM
     # DMA hard-faults the TPU worker (observed at rc=49/129; rc=40 fine)
     rc = _rup(_cdiv(cmax, ROWB), 8)
-    rw = LEAD + rc + 16  # window-read slack: reads reach r0 + 16 <= rw
+    rw = LEAD + rc + 32  # window-read slack: reads reach r0 + 32 <= rw
     ro = _cdiv(out_capacity, ROWB)
-    r_res = LEAD + _rup(ro, 8) + 16
+    r_res = LEAD + _rup(ro, 8) + 32
     rt = _rup(r_res + 1, 8)
-    pad = rw * ROWB - cmax - LEAD * ROWB
+    ru = rw + rt  # unified buffer rows: [stream | output region]
+    pad = ru * ROWB - cmax - LEAD * ROWB
     lead = jnp.zeros((b, LEAD * ROWB), jnp.uint8)
     cw = jnp.concatenate([lead, comp, jnp.zeros((b, pad), jnp.uint8)], axis=1)
     sizes = comp_sizes.astype(jnp.int32)
     if bp != b:
         cw = jnp.concatenate([cw, jnp.zeros((bp - b, cw.shape[1]), jnp.uint8)], axis=0)
         sizes = jnp.concatenate([sizes, jnp.zeros((bp - b,), jnp.int32)])
-    wv = bits.bytes_to_units_le(cw, 4).astype(jnp.int32).reshape(bp, rw, ROWW)
+    uv = bits.bytes_to_units_le(cw, 4).astype(jnp.int32).reshape(bp, ru, ROWW)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bp // K,),
         in_specs=[
-            pl.BlockSpec((K, rw, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, ru, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (K, rt, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+            (K, ru, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[
+            pltpu.SMEM((K, rc, ROWW), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
     )
     out = pl.pallas_call(
-        functools.partial(_lz4_decode_kernel, rc, rw, rt, r_res, out_capacity, K),
+        functools.partial(_lz4_decode_kernel, rc, rw, rt, r_res, out_capacity, K,
+                          probe_no_lsic=probe_no_lsic),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bp, rt, ROWW), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((bp, ru, ROWW), jnp.int32),
         interpret=interpret,
+        input_output_aliases={1: 0},
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
-    )(sizes, wv)
+    )(sizes, uv)
 
     out = out[:b]
-    lengths = out[:, r_res, 0].astype(jnp.int32)
-    statuses = out[:, r_res, 1].astype(jnp.int32)
+    lengths = out[:, rw + r_res, 0].astype(jnp.int32)
+    statuses = out[:, rw + r_res, 1].astype(jnp.int32)
     data = bits.units_to_bytes_le(
-        out[:, LEAD : LEAD + ro].reshape(b, ro * ROWW)
+        out[:, rw + LEAD : rw + LEAD + ro].astype(jnp.uint32).reshape(b, ro * ROWW)
     )[:, :out_capacity]
     pos = jnp.arange(out_capacity, dtype=jnp.int32)[None, :]
     good = (statuses == int(Status.SUCCESS))[:, None] & (pos < lengths[:, None])
@@ -615,10 +657,15 @@ def decompress(comp, comp_sizes, out_capacity: int, interpret: bool = False,
 #     read by VMEM extract -- the scalar-core form of the reference's hash
 #     probe loop
 #   - exact unbounded match extension by 4KB VPU compares of the source
-#     data (lengthOfMatch, reference :592-617)
-#   - stream emission through the same head-register splice machinery as
-#     decompression (token/LSIC header and offset/LSIC tail vectors are
-#     constructed arithmetically per iteration)
+#     data (lengthOfMatch, reference :592-617).  Feeding precomputed
+#     lengths from the XLA-side LCP walk (lz77.match_lengths) instead is a
+#     measured dead end: its per-level ids[a] gathers cost ~115 ms per
+#     [128, 64K] gather on v5e, 3.4 s/8 MB total -- 40x the whole in-kernel
+#     extension (scripts history, round 3)
+#   - stream emission through the 16-row read-modify-write splice machinery
+#     shared with decompression (token/LSIC header and offset/LSIC tail
+#     vectors are constructed arithmetically per iteration), so short
+#     sequences (the common case) cost one loop iteration
 #
 # The output is the pure greedy parse with exact extension -- byte-identical
 # to the uncapped sequential oracle (tests/oracles/lz4_oracle.py), and never
@@ -680,12 +727,38 @@ def _field_tile(h, bi0, b0, b_last, flen, b1=None):
     return _u(words)
 
 
+def _field_tile16(h, bi0, b0, b_last, flen, b1=None):
+    """(16,128) variant of _field_tile: LZ4 header/tail field at flat bytes
+    [h, ...); byte with field index bi (= flat_byte - h + bi0) takes value
+    b0 at bi==0, b1 at bi==1 (when given), b_last at bi==flen-1, else 255
+    (LSIC filler).  Pure selects -- no lane-crossing ops."""
+    fwi = _si((16, ROWW)) * ROWW + _li((16, ROWW))
+    words = jnp.zeros((16, ROWW), jnp.int32)
+    for t in range(4):
+        bi = (fwi * 4 + t) - h + bi0
+        v = jnp.where(bi == flen - 1, b_last, 255)
+        if b1 is not None:
+            v = jnp.where(bi == 1, b1, v)
+        v = jnp.where(bi == 0, b0, v)
+        words = words | ((v & 0xFF) << (8 * t))
+    return _u(words)
+
+
 def _lz4_encode_kernel(
     rd: int, rt: int, ro: int, r_res: int, K: int,
     size_ref, wv_ref, nmp_ref, dist_ref, out_ref
 ):
-    """K chunks encode per grid cell through one interleaved loop (same
-    ILP rationale as _lz4_decode_kernel)."""
+    """K chunks encode per grid cell through one branch-free interleaved
+    loop (same design rules as _lz4_decode_kernel v3).
+
+    Emission treats each sequence as a virtual byte stream
+    header || literals || tail and writes one granule of it per iteration
+    as a single predicated 16-row read-modify-write: the header and tail
+    field tiles are pure selects built at their target offsets, the
+    literal window is one aligned read, and short sequences (the common
+    case) complete parse + extension + emission in a single iteration."""
+
+    GM = TB  # granule cap; 16-row RMW covers 4096+511 at any offset
 
     def mk_chunk(k):
         n = size_ref[pl.program_id(0) * K + k]
@@ -693,235 +766,112 @@ def _lz4_encode_kernel(
         def get16d(r0):
             return _u(wv_ref[k, pl.ds(r0, 16), :])
 
-        read_data = lambda off_b: _read_win(get16d, off_b + LEAD * ROWB)
+        def get32d(r0):
+            return _u(wv_ref[k, pl.ds(r0, 32), :])
 
         def tbl_at(ref, x):
-            # direct VMEM extract; extracts of different chunks overlap
             e = jnp.clip(x, 0, rt * ROWW - 1)
             return _extract_word(
                 lambda r: ref[k, pl.ds(jnp.clip(r, 0, rt - 1), 1), :], e
             )
 
         # carry: p(anchor), o, q, off, mlen, llen, hdr_rem, lit_rem,
-        #        tail_rem, ext_on, is_final, done, head, head_lo
+        #        tail_rem, ext_on, is_final, done
         def step(c):
             (p, o, q, off, mlen, llen, hdr_rem, lit_rem, tail_rem,
-             ext_on, is_final, done, head, head_lo) = c
+             ext_on, is_final, done) = c
 
-            # ---- parse branch (idle: nothing pending) ---------------------
+            # ---- a) speculative parse (table extracts; commit by select) --
             idle = (
-                ~ext_on & (hdr_rem == 0) & (lit_rem == 0) & (tail_rem == 0) & ~done
+                ~ext_on & (hdr_rem == 0) & (lit_rem == 0) & (tail_rem == 0)
+                & ~done
             )
+            q2 = tbl_at(nmp_ref, p)
+            fin = q2 >= jnp.minimum(_SENT, n - 12)
+            q2c = jnp.where(fin, n, q2)
+            off2 = jnp.where(fin, 1, tbl_at(dist_ref, q2c))
+            lf = n - p  # final tail literal run [p, n)
+            q = jnp.where(idle, q2c, q)
+            off = jnp.where(idle, off2, off)
+            mlen = jnp.where(idle, jnp.where(fin, 0, 4), mlen)
+            llen = jnp.where(idle & fin, lf, llen)
+            hdr_rem = jnp.where(idle & fin, 1 + _lsic_nb(lf), hdr_rem)
+            lit_rem = jnp.where(idle & fin, lf, lit_rem)
+            ext_on = jnp.where(idle, ~fin, ext_on)
+            is_final = jnp.where(idle, fin, is_final)
 
-            def parse():
-                q2 = tbl_at(nmp_ref, p)
-                fin = q2 >= jnp.minimum(_SENT, n - 12)
-                q2c = jnp.where(fin, n, q2)
-                off2 = jnp.where(fin, 1, tbl_at(dist_ref, q2c))
-                # final: emit the tail literal run [p, n)
-                lf = n - p
-                hdrf = 1 + _lsic_nb(lf)
-                i32 = lambda v: jnp.asarray(v, jnp.int32)
-                return (
-                    i32(q2c),
-                    i32(off2),
-                    i32(jnp.where(fin, 0, 4)),
-                    i32(jnp.where(fin, lf, llen)),
-                    i32(jnp.where(fin, hdrf, hdr_rem)),
-                    i32(jnp.where(fin, lf, lit_rem)),
-                    i32(tail_rem),
-                    jnp.asarray(~fin, jnp.bool_),
-                    jnp.asarray(fin, jnp.bool_),
-                )
-
-            def no_parse():
-                i32 = lambda v: jnp.asarray(v, jnp.int32)
-                return (
-                    i32(q), i32(off), i32(mlen), i32(llen), i32(hdr_rem),
-                    i32(lit_rem), i32(tail_rem), jnp.asarray(ext_on, jnp.bool_),
-                    jnp.asarray(is_final, jnp.bool_),
-                )
-
-            q, off, mlen, llen, hdr_rem, lit_rem, tail_rem, ext_on, is_final = (
-                jax.lax.cond(idle, parse, no_parse)
+            # ---- b) extension round (4KB compares; commit by select) ------
+            exting = ext_on & ~done
+            a = _read_win(get16d, jnp.minimum(q + mlen, n) + LEAD * ROWB)
+            b = _read_win(
+                get16d, jnp.maximum(jnp.minimum(q + mlen, n) - off, 0) + LEAD * ROWB
             )
+            d = _first_diff_tile(a, b)
+            limit = n - 5 - q
+            m2 = jnp.minimum(mlen + d, limit)
+            still = (d >= TB) & (m2 < limit)
+            llen2 = q - p
+            mlen = jnp.where(exting, m2, mlen)
+            ext_done = exting & ~still
+            llen = jnp.where(ext_done, llen2, llen)
+            hdr_rem = jnp.where(ext_done, 1 + _lsic_nb(llen2), hdr_rem)
+            lit_rem = jnp.where(ext_done, llen2, lit_rem)
+            tail_rem = jnp.where(ext_done, 2 + _lsic_nb(m2 - 4), tail_rem)
+            ext_on = jnp.where(exting, still, ext_on)
 
-            # ---- extension (4KB window compares; right after its parse) ---
-            def ext_round(mlen, llen, hdr_rem, lit_rem, tail_rem, ext_on):
-                def ext_branch():
-                    a = read_data(q + mlen)
-                    b = read_data(q + mlen - off)
-                    d = _first_diff_tile(a, b)
-                    limit = n - 5 - q
-                    m2 = jnp.minimum(mlen + d, limit)
-                    still = (d >= TB) & (m2 < limit)
-                    llen2 = q - p
-                    hdr2 = 1 + _lsic_nb(llen2)
-                    tail2 = 2 + _lsic_nb(m2 - 4)
-                    i32 = lambda v: jnp.asarray(v, jnp.int32)
-                    return (
-                        i32(m2),
-                        i32(jnp.where(still, llen, llen2)),
-                        i32(jnp.where(still, hdr_rem, hdr2)),
-                        i32(jnp.where(still, lit_rem, llen2)),
-                        i32(jnp.where(still, tail_rem, tail2)),
-                        jnp.asarray(still, jnp.bool_),
-                    )
+            # ---- c) one emission granule (header || literals || tail) -----
+            pend = (hdr_rem > 0) | (lit_rem > 0) | (tail_rem > 0)
+            emitting = ~ext_on & ~done & pend
+            hl = 1 + _lsic_nb(llen)
+            tl = jnp.where(is_final, 0, 2 + _lsic_nb(mlen - 4))
+            g = jnp.minimum(hdr_rem + lit_rem + tail_rem, GM)
+            g = jnp.where(emitting, g, 0)
+            gh = jnp.minimum(hdr_rem, g)
+            gl = jnp.minimum(lit_rem, g - gh)
+            gt = g - gh - gl
+            r0 = o >> 9
+            h = o - r0 * 512
 
-                def no_ext():
-                    i32 = lambda v: jnp.asarray(v, jnp.int32)
-                    return (
-                        i32(mlen), i32(llen), i32(hdr_rem), i32(lit_rem),
-                        i32(tail_rem), jnp.asarray(ext_on, jnp.bool_),
-                    )
-
-                return jax.lax.cond(ext_on & ~done, ext_branch, no_ext)
-
-            mlen, llen, hdr_rem, lit_rem, tail_rem, ext_on = ext_round(
-                mlen, llen, hdr_rem, lit_rem, tail_rem, ext_on
+            tok_m = jnp.where(is_final, 0, jnp.minimum(mlen - 4, 15))
+            token = (jnp.minimum(llen, 15) << 4) | tok_m
+            rem_b = llen - 15 - 255 * (hl - 2)
+            H = _field_tile16(h, hl - hdr_rem, token, rem_b, hl)
+            H = H & _byte_mask16(h, gh)
+            lit_start = p + (llen - lit_rem)
+            L = _read_win16(
+                get32d, jnp.maximum(lit_start - (h + gh) + LEAD * ROWB, 0)
             )
+            L = L & _byte_mask16(h + gh, gl)
+            h2 = h + gh + gl
+            mrem = (mlen - 4) - 15 - 255 * (tl - 3)
+            T = _field_tile16(h2, tl - tail_rem, off & 0xFF, mrem, tl,
+                              b1=(off >> 8) & 0xFF)
+            T = T & _byte_mask16(h2, gt)
 
-            pend_before = (hdr_rem > 0) | (lit_rem > 0) | (tail_rem > 0)
+            cur = _u(out_ref[k, pl.ds(LEAD + r0, 16), :])
+            m = _byte_mask16(h, g)
+            out_ref[k, pl.ds(LEAD + r0, 16), :] = (cur & ~m) | H | L | T
 
-            # ---- fast path: whole fresh sequence in one splice ------------
-            hl_f = 1 + _lsic_nb(llen)
-            tl_full = jnp.where(is_final, 0, 2 + _lsic_nb(mlen - 4))
-            total_f = hl_f + llen + tl_full
-            h_f = o - head_lo
-            fresh = (
-                ~ext_on & ~done & pend_before
-                & (hdr_rem == hl_f) & (lit_rem == llen) & (tail_rem == tl_full)
-                & (total_f <= TB - h_f) & (total_f <= GMAX)
-            )
+            o = o + g
+            hdr_rem = hdr_rem - gh
+            lit_rem = lit_rem - gl
+            tail_rem = tail_rem - gt
 
-            def fused_emit(args):
-                o, head, head_lo = args
-                h = o - head_lo
-                tok_m = jnp.where(is_final, 0, jnp.minimum(mlen - 4, 15))
-                token = (jnp.minimum(llen, 15) << 4) | tok_m
-                rem_b = llen - 15 - 255 * (hl_f - 2)
-                H = _field_tile(h, 0, token, rem_b, hl_f) & _byte_mask_tile(h, hl_f)
-                L = read_data(p - (h + hl_f) + 0) & _byte_mask_tile(h + hl_f, llen)
-                h2 = h + hl_f + llen
-                mrem = (mlen - 4) - 15 - 255 * (tl_full - 3)
-                T = _field_tile(h2, 0, off & 0xFF, mrem, tl_full, b1=(off >> 8) & 0xFF)
-                T = T & _byte_mask_tile(h2, tl_full)
-                m = _byte_mask_tile(h, total_f)
-                head = (head & ~m) | H | L | T
-                o = o + total_f
-
-                def flush(args):
-                    head, head_lo = args
-                    out_ref[k, pl.ds(LEAD + (head_lo >> 9), 8), :] = head
-                    return jnp.zeros((8, ROWW), jnp.uint32), head_lo + TB
-
-                head, head_lo = jax.lax.cond(
-                    o - head_lo >= TB, lambda: flush((head, head_lo)),
-                    lambda: (head, head_lo),
-                )
-                return o, head, head_lo
-
-            o, head, head_lo = jax.lax.cond(
-                fresh, fused_emit, lambda a: a, (o, head, head_lo)
-            )
-            hdr_rem = jnp.where(fresh, 0, hdr_rem)
-            lit_rem = jnp.where(fresh, 0, lit_rem)
-            tail_rem = jnp.where(fresh, 0, tail_rem)
-
-            # ---- emission: up to three granules (header, literals, tail) --
-            def emit_step(o, hdr_rem, lit_rem, tail_rem, head, head_lo):
-                h = o - head_lo
-                space = TB - h
-                do_hdr = hdr_rem > 0
-                do_lit = ~do_hdr & (lit_rem > 0)
-                do_tail = ~do_hdr & ~do_lit & (tail_rem > 0)
-                emitting = (do_hdr | do_lit | do_tail) & ~done & ~ext_on
-
-                def hdr_tile():
-                    tok_m = jnp.where(is_final, 0, jnp.minimum(mlen - 4, 15))
-                    token = (jnp.minimum(llen, 15) << 4) | tok_m
-                    hl = 1 + _lsic_nb(llen)
-                    rem_b = llen - 15 - 255 * (hl - 2)
-                    return (
-                        _field_tile(h, hl - hdr_rem, token, rem_b, hl),
-                        jnp.asarray(hdr_rem, jnp.int32),
-                    )
-
-                def tail_tile():
-                    tl = 2 + _lsic_nb(mlen - 4)
-                    mrem = (mlen - 4) - 15 - 255 * (tl - 3)
-                    return (
-                        _field_tile(
-                            h, tl - tail_rem, off & 0xFF, mrem, tl, b1=(off >> 8) & 0xFF
-                        ),
-                        jnp.asarray(tail_rem, jnp.int32),
-                    )
-
-                def lit_tile():
-                    src = p + (llen - lit_rem)
-                    return read_data(src - h), jnp.asarray(lit_rem, jnp.int32)
-
-                V, rem = jax.lax.cond(
-                    do_hdr, hdr_tile, lambda: jax.lax.cond(do_lit, lit_tile, tail_tile)
-                )
-                g = jnp.minimum(jnp.minimum(rem, space), GMAX)
-                g = jnp.where(emitting & (g > 0), g, 0)
-                m = _byte_mask_tile(h, g)
-                head = (head & ~m) | (V & m)
-                o = o + g
-                hdr_rem = jnp.where(do_hdr, hdr_rem - g, hdr_rem)
-                lit_rem = jnp.where(do_lit, lit_rem - g, lit_rem)
-                tail_rem = jnp.where(do_tail, tail_rem - g, tail_rem)
-
-                def flush(args):
-                    head, head_lo = args
-                    out_ref[k, pl.ds(LEAD + (head_lo >> 9), 8), :] = head
-                    return jnp.zeros((8, ROWW), jnp.uint32), head_lo + TB
-
-                head, head_lo = jax.lax.cond(
-                    o - head_lo >= TB, lambda: flush((head, head_lo)),
-                    lambda: (head, head_lo),
-                )
-                return o, hdr_rem, lit_rem, tail_rem, head, head_lo
-
-            def three_steps(args):
-                o, hdr_rem, lit_rem, tail_rem, head, head_lo = args
-                for _ in range(3):
-                    o, hdr_rem, lit_rem, tail_rem, head, head_lo = emit_step(
-                        o, hdr_rem, lit_rem, tail_rem, head, head_lo
-                    )
-                return (o, hdr_rem, lit_rem, tail_rem, head, head_lo)
-
-            pend_mid = (hdr_rem > 0) | (lit_rem > 0) | (tail_rem > 0)
-            o, hdr_rem, lit_rem, tail_rem, head, head_lo = jax.lax.cond(
-                pend_mid & ~ext_on & ~done,
-                three_steps,
-                lambda a: a,
-                (o, hdr_rem, lit_rem, tail_rem, head, head_lo),
-            )
-
-            pend_after = (hdr_rem > 0) | (lit_rem > 0) | (tail_rem > 0)
-            completed = pend_before & ~pend_after & ~ext_on & ~done
+            completed = emitting & (hdr_rem == 0) & (lit_rem == 0) & (tail_rem == 0)
             done = done | (completed & is_final)
             p = jnp.where(completed & ~is_final, q + mlen, p)
 
             return (p, o, q, off, mlen, llen, hdr_rem, lit_rem, tail_rem,
-                    ext_on, is_final, done, head, head_lo)
+                    ext_on, is_final, done)
 
         init = (
-            jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(1), jnp.int32(0),
+            jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(1),
             jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-            jnp.bool_(False), jnp.bool_(False), n <= 0,
-            jnp.zeros((8, ROWW), jnp.uint32), jnp.int32(0),
+            jnp.int32(0), jnp.bool_(False), jnp.bool_(False), n <= 0,
         )
 
         def finalize(c):
-            o, head, head_lo = c[1], c[12], c[13]
-
-            @pl.when(o > head_lo)
-            def _():
-                out_ref[k, pl.ds(LEAD + (head_lo >> 9), 8), :] = head
-
+            o = c[1]
             li = _li((1, ROWW))
             out_ref[k, r_res : r_res + 1, :] = _u(jnp.where(li == 0, o, 0))
 
@@ -936,10 +886,7 @@ def _lz4_encode_kernel(
         return a
 
     def body(cs):
-        return tuple(
-            jax.lax.cond(~c[11], chunks[k][1], lambda c: c, c)
-            for k, c in enumerate(cs)
-        )
+        return tuple(chunks[k][1](c) for k, c in enumerate(cs))
 
     finals = jax.lax.while_loop(cond, body, tuple(ch[0] for ch in chunks))
     for k, c in enumerate(finals):
@@ -973,10 +920,10 @@ def compress(data, lengths, stride: int = 1, interpret: bool = False,
         lengths = jnp.concatenate([lengths, jnp.zeros((bp - b,), jnp.int32)])
     out_max = lz4_max_compressed_chunk_size(c)
     ro = _cdiv(out_max, ROWB)
-    r_res = LEAD + _rup(ro, 8) + 16
+    r_res = LEAD + _rup(ro, 8) + 32
     rto = _rup(r_res + 1, 8)
     rd = _rup(_cdiv(c, ROWB), 8)
-    rw = LEAD + rd + 16  # window-read slack
+    rw = LEAD + rd + 32  # window-read slack: reads reach r0 + 32 <= rw
 
     # exact nearest-previous-occurrence candidate tables (XLA sorts)
     def tables(d, nn):

@@ -77,11 +77,11 @@ def bytes_to_units_le(b, width: int):
         return b.astype(jnp.uint8)
     assert b.shape[-1] % width == 0
     udtype = _UNSIGNED_OF_WIDTH[width]
-    g = b.reshape(*b.shape[:-1], -1, width).astype(udtype)
-    out = g[..., 0]
-    for i in range(1, width):
-        out = out | (g[..., i] << udtype(8 * i))
-    return out
+    # one bitcast beats the shift/or ladder on TPU: 5.2 vs 7.9 ms for 38 MB
+    # (scripts/xform_bench2.py) -- XLA folds any adjacent transpose into it
+    return jax.lax.bitcast_convert_type(
+        b.reshape(*b.shape[:-1], -1, width), udtype
+    )
 
 
 def units_to_bytes_le(u):
@@ -89,10 +89,7 @@ def units_to_bytes_le(u):
     width = jnp.iinfo(u.dtype).bits // 8
     if width == 1:
         return u.astype(jnp.uint8)
-    parts = jnp.stack(
-        [((u >> u.dtype.type(8 * i)) & u.dtype.type(0xFF)).astype(jnp.uint8) for i in range(width)],
-        axis=-1,
-    )
+    parts = jax.lax.bitcast_convert_type(u, jnp.uint8)  # [..., k, width]
     return parts.reshape(*u.shape[:-1], -1)
 
 
