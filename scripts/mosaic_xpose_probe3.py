@@ -52,6 +52,6 @@ def mk_T(shape):
     return mk
 
 
-for shape in ((128, 32), (32, 128), (128, 128), (8, 128), (256, 128), (32, 512)):
+for shape in ((1152, 32), (32, 1152), (128, 128), (1024, 128), (640, 32), (32, 640)):
     slope(f"T {shape}", shape, mk_T(shape))
 print("DONE", flush=True)

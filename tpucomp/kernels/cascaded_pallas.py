@@ -515,7 +515,10 @@ def compress(data, lengths, opts, interpret: bool = False):
         data = jnp.concatenate(
             [data, jnp.zeros((b, total_bytes - c), jnp.uint8)], axis=1
         )
-    # sign-extended i32 elements, column-major [B, SUB, l_elem]
+    # sign-extended i32 elements, column-major [B, SUB, l_elem].  (An
+    # in-kernel native-transpose relayout from row-major [l, SUB] blocks was
+    # tried in round 3 and measured a net LOSS: narrow minor-32 blocks cost
+    # more in tiled VMEM traffic than the XLA transpose they replace.)
     units = bits.bytes_to_units_le(data, w)
     sdtype = bits.signed_of_width(w)
     elems = bits.bitcast(units, sdtype).astype(jnp.int32)
@@ -774,7 +777,6 @@ def _decode_one(lay: _DLayout, gp: int, p: int, size_ref, comp_ref, out_ref, deb
 
     words_in = comp_ref[0][:, in0 : in0 + lay.l_inw].astype(jnp.int32)
 
-
     # ---- partition header: two static scalar VMEM loads --------------------
     # (the word stream is column-major: word j sits at (j % SUB, j // SUB),
     # so header words 0 and 1 are at static positions; a traced-index scalar
@@ -803,293 +805,319 @@ def _decode_one(lay: _DLayout, gp: int, p: int, size_ref, comp_ref, out_ref, deb
     if _cut(1, zero_m + h0):
         return
 
-    # ---- chunk walk (reference pointer walk; codecs/cascaded.py _walk_chunks)
-    # scalar state; each step extracts one stream word by a traced lane
-    # roll + static column slice + tiny sublane reduction (the previous
-    # whole-tile select_word reductions dominated the kernel's prologue)
-    def word_at(pw):
-        # narrow the traced roll to one 128-lane block (static-select the
-        # block first): a [SUB,128] dynamic roll costs ~1/5 of the full
-        # [SUB,l_inw] roll the walk used before
-        l = pw // SUB
-        s = pw - l * SUB
-        nb = lay.l_inw // 128
-        blk = l // 128
-        sel = words_in[:, 0:128]
-        for bi in range(1, nb):
-            sel = jnp.where(blk == bi, words_in[:, bi * 128 : (bi + 1) * 128], sel)
-        rolled = pltpu.roll(sel, (-(l - blk * 128)) % 128, axis=1)
-        col = rolled[:, 0:1]
-        si = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
-        return jnp.sum(jnp.where(si == s, col, 0), dtype=jnp.int32)
+    # everything from the chunk walk through the ragged concat (phases A-F)
+    # only matters when this partition really was pipeline-encoded with the
+    # caller's opts; raw-fallback / mismatched / corrupt-header partitions
+    # (the common case on incompressible data) skip the whole body via ONE
+    # partition-level lax.cond instead of paying the full predicated
+    # butterfly pipeline (round-3 finding: whole-tile lane rolls cost
+    # ~75 ns per vreg-row, so the inverse pipeline is ~12 ms of the 25 ms
+    # 17 MB decode whether or not its results are used).  debug_cut keeps
+    # the straight-line form so the stage bisect measures true stage costs.
+    eshape = (SUB, lay.k * lay.ep)
+    _dummy = lanes.flat_iota(eshape) >> 30  # materialized zero
 
-    pos = jnp.int32(8)
-    offs, lives = [], []
-    for _ in range(k):
-        word = word_at(jnp.clip(pos // 4, 0, lay.l_inw * SUB - 1))
-        total = jnp.where(
-            word.astype(jnp.uint32) > jnp.uint32(lay.walk_clamp), lay.walk_clamp, word
-        )
-        in_range = pos < end_words * 4
-        offs.append(pos)
-        lives.append(in_range)
-        pos = jnp.where(in_range, _rup(pos + jnp.maximum(total, 4), w), pos)
-    end_pos = pos
+    def _phases():
+      # ---- chunk walk (reference pointer walk; codecs/cascaded.py _walk_chunks)
+      # scalar state; each step extracts one stream word by a traced lane
+      # roll + static column slice + tiny sublane reduction (the previous
+      # whole-tile select_word reductions dominated the kernel's prologue)
+      def word_at(pw):
+          # narrow the traced roll to one 128-lane block (static-select the
+          # block first): a [SUB,128] dynamic roll costs ~1/5 of the full
+          # [SUB,l_inw] roll the walk used before
+          l = pw // SUB
+          s = pw - l * SUB
+          nb = lay.l_inw // 128
+          blk = l // 128
+          sel = words_in[:, 0:128]
+          for bi in range(1, nb):
+              sel = jnp.where(blk == bi, words_in[:, bi * 128 : (bi + 1) * 128], sel)
+          rolled = pltpu.roll(sel, (-(l - blk * 128)) % 128, axis=1)
+          col = rolled[:, 0:1]
+          si = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
+          return jnp.sum(jnp.where(si == s, col, 0), dtype=jnp.int32)
 
-    if _cut(2, zero_m + end_pos):
-        return
+      pos = jnp.int32(8)
+      offs, lives = [], []
+      for _ in range(k):
+          word = word_at(jnp.clip(pos // 4, 0, lay.l_inw * SUB - 1))
+          total = jnp.where(
+              word.astype(jnp.uint32) > jnp.uint32(lay.walk_clamp), lay.walk_clamp, word
+          )
+          in_range = pos < end_words * 4
+          offs.append(pos)
+          lives.append(in_range)
+          pos = jnp.where(in_range, _rup(pos + jnp.maximum(total, 4), w), pos)
+      end_pos = pos
 
-    # ---- phase A: spread chunk streams to static chunk slots -------------
-    cid = jnp.full(ashape, -1, jnp.int32)
-    off_of = jnp.zeros(ashape, jnp.int32)
-    for kk in range(k):
-        here = lives[kk] & (afi * 4 >= offs[kk])
-        cid = jnp.where(here, kk, cid)
-        off_of = jnp.where(here, offs[kk], off_of)
-    lw = afi - off_of // 4
-    slot_base = SUB + cid * (lay.sc2 * SUB)
-    valid_a = (cid >= 0) & (lw >= 0) & (lw < lay.dc * SUB)
-    (slotted,), ok_a = lanes.butterfly_right(
-        [wa], jnp.where(valid_a, slot_base + lw - afi, 0), valid_a, lay.l_a,
-        nbits=lay.nbits_a,
-    )
-    slotted = jnp.where(ok_a, slotted, 0)
+      if _cut(2, zero_m + end_pos):
+          return _dummy, _dummy
 
-    if _cut(3, slotted):
-        return
+      # ---- phase A: spread chunk streams to static chunk slots -------------
+      cid = jnp.full(ashape, -1, jnp.int32)
+      off_of = jnp.zeros(ashape, jnp.int32)
+      for kk in range(k):
+          here = lives[kk] & (afi * 4 >= offs[kk])
+          cid = jnp.where(here, kk, cid)
+          off_of = jnp.where(here, offs[kk], off_of)
+      lw = afi - off_of // 4
+      slot_base = SUB + cid * (lay.sc2 * SUB)
+      valid_a = (cid >= 0) & (lw >= 0) & (lw < lay.dc * SUB)
+      (slotted,), ok_a = lanes.butterfly_right(
+          [wa], jnp.where(valid_a, slot_base + lw - afi, 0), valid_a, lay.l_a,
+          nbits=lay.nbits_a,
+      )
+      slotted = jnp.where(ok_a, slotted, 0)
 
-    # ---- phase B: static meta extraction per chunk (span sc2) ------------
-    # per-chunk scalar math happens on the B-shape [SUB, k*sc2] (span sc2);
-    # the slots start one column in, so shift left one column first
-    dspan = lay.sc2
-    bshape = (SUB, k * dspan)
-    slot_t = lanes.flat_roll_static(slotted, lay.l_a * SUB - SUB, lay.l_a)[
-        :, : k * dspan
-    ]
-    dfi = lanes.flat_iota(bshape) % (dspan * SUB)
-    mvals = [
-        lanes.seg_reduce(jnp.where(dfi == j, slot_t, 0), dspan, "or")
-        for j in range(lay.mw)
-    ]
+      if _cut(3, slotted):
+          return _dummy, _dummy
 
-    if _cut(4, mvals[0]):
-        return
-    cap = lay.in_capacity + 8
-    # unsigned clamp via compare+select: Mosaic has no arith.minui lowering
-    blob_sizes = [
-        jnp.where(m.astype(jnp.uint32) > jnp.uint32(cap), jnp.int32(cap), m)
-        for m in mvals[: 2 + nr]
-    ]
-    # delta firsts (byte-packed at dh_off)
-    firsts_a = []
-    if nd:
-        dh_off = round_up_to(4 + 4 * (nr + 1), w)
-        per = 4 // w
-        emask = jnp.int32((1 << ebits) - 1) if ebits < 32 else jnp.int32(-1)
-        for i in range(nd):
-            word = mvals[dh_off // 4 + i // per]
-            fv = (word >> (8 * w * (i % per))) & emask
-            firsts_a.append(_sext(fv, ebits) if ebits < 32 else fv)
+      # ---- phase B: static meta extraction per chunk (span sc2) ------------
+      # per-chunk scalar math happens on the B-shape [SUB, k*sc2] (span sc2);
+      # the slots start one column in, so shift left one column first
+      dspan = lay.sc2
+      bshape = (SUB, k * dspan)
+      slot_t = lanes.flat_roll_static(slotted, lay.l_a * SUB - SUB, lay.l_a)[
+          :, : k * dspan
+      ]
+      dfi = lanes.flat_iota(bshape) % (dspan * SUB)
+      mvals = [
+          lanes.seg_reduce(jnp.where(dfi == j, slot_t, 0), dspan, "or")
+          for j in range(lay.mw)
+      ]
 
-    # per-chunk walk scalars broadcast onto the B-shape
-    gi_b = lanes.lane_iota(bshape) // dspan
-    chunk_off_b = jnp.zeros(bshape, jnp.int32)
-    live_b = jnp.zeros(bshape, jnp.int32)
-    for kk in range(k):
-        sel = gi_b == kk
-        chunk_off_b = jnp.where(sel, _bc_ep(offs[kk], bshape), chunk_off_b)
-        live_b = jnp.where(sel, _bc_ep(lives[kk].astype(jnp.int32), bshape), live_b)
-    end_words_b = _bc_ep(end_words, bshape)
+      if _cut(4, mvals[0]):
+          return _dummy, _dummy
+      cap = lay.in_capacity + 8
+      # unsigned clamp via compare+select: Mosaic has no arith.minui lowering
+      blob_sizes = [
+          jnp.where(m.astype(jnp.uint32) > jnp.uint32(cap), jnp.int32(cap), m)
+          for m in mvals[: 2 + nr]
+      ]
+      # delta firsts (byte-packed at dh_off)
+      firsts_a = []
+      if nd:
+          dh_off = round_up_to(4 + 4 * (nr + 1), w)
+          per = 4 // w
+          emask = jnp.int32((1 << ebits) - 1) if ebits < 32 else jnp.int32(-1)
+          for i in range(nd):
+              word = mvals[dh_off // 4 + i // per]
+              fv = (word >> (8 * w * (i % per))) & emask
+              firsts_a.append(_sext(fv, ebits) if ebits < 32 else fv)
 
-    if _cut(5, chunk_off_b):
-        return
+      # per-chunk walk scalars broadcast onto the B-shape
+      gi_b = lanes.lane_iota(bshape) // dspan
+      chunk_off_b = jnp.zeros(bshape, jnp.int32)
+      live_b = jnp.zeros(bshape, jnp.int32)
+      for kk in range(k):
+          sel = gi_b == kk
+          chunk_off_b = jnp.where(sel, _bc_ep(offs[kk], bshape), chunk_off_b)
+          live_b = jnp.where(sel, _bc_ep(lives[kk].astype(jnp.int32), bshape), live_b)
+      end_words_b = _bc_ep(end_words, bshape)
 
-    # section offsets relative to base = chunk_off + meta_size
-    # (codecs/cascaded.py _decompress_chunk:427-434)
-    rle_offsets = [jnp.zeros(bshape, jnp.int32)]
-    for kk in range(nr - 1):
-        rle_offsets.append(_rup(rle_offsets[kk] + blob_sizes[kk + 1], 4))
-    if nr > 0:
-        final_off = _rup(rle_offsets[-1] + blob_sizes[nr], max(4, w))
+      if _cut(5, chunk_off_b):
+          return _dummy, _dummy
+
+      # section offsets relative to base = chunk_off + meta_size
+      # (codecs/cascaded.py _decompress_chunk:427-434)
+      rle_offsets = [jnp.zeros(bshape, jnp.int32)]
+      for kk in range(nr - 1):
+          rle_offsets.append(_rup(rle_offsets[kk] + blob_sizes[kk + 1], 4))
+      if nr > 0:
+          final_off = _rup(rle_offsets[-1] + blob_sizes[nr], max(4, w))
+      else:
+          final_off = jnp.zeros(bshape, jnp.int32)
+
+      base_b = chunk_off_b + lay.meta_size
+      okc = (chunk_off_b + lay.meta_size) // 4 <= end_words_b
+
+      def in_bounds(off, size):
+          return (base_b + off) // 4 + (size + 3) // 4 <= end_words_b
+
+      fsize = blob_sizes[1 + nr]
+      okc = okc & in_bounds(final_off, fsize)
+      for i in range(nr):
+          okc = okc & in_bounds(rle_offsets[i], blob_sizes[1 + i])
+
+      if _cut(6, okc):
+          return _dummy, _dummy
+
+      # ---- phase C: spread blob streams to per-blob slots ------------------
+      # group-aligned within-chunk moves: the lead column is dropped so chunk
+      # g's slot occupies lanes [g*sc2, (g+1)*sc2) exactly, and the section
+      # butterfly runs with span sc2 (distances nondecreasing within a group
+      # because every slot cap >= its section's size)
+      cshape = (SUB, lay.l_c)
+      wc = lanes.flat_roll_static(
+          _embed_cols(slotted, lay.l_c), lay.l_c * SUB - SUB, lay.l_c
+      )
+      cfi = lanes.flat_iota(cshape)
+      cid2 = cfi // (lay.sc2 * SUB)
+      gloc = cfi - cid2 * (lay.sc2 * SUB)
+      lw2 = gloc - lay.mw  # word idx past meta
+      in_chunk = cid2 < k
+      off_w = [ro // 4 for ro in rle_offsets] + [final_off // 4]
+      sz_w = [(blob_sizes[1 + i] + 3) // 4 for i in range(nr)] + [(fsize + 3) // 4]
+      # move-window clamp: every readable word fits the slot by construction
+      slot_caps = [1 + lay.cd_cols] * nr + [1 + lay.fd_cols]
+      slot_bases = []
+      acc = 1
+      for scap in slot_caps:
+          slot_bases.append(acc)
+          acc += scap
+      # the sc2-span per-chunk scalars (B-shape, groups from lane 0) align
+      # directly with the lead-dropped slot coordinates
+      def to_c(t):
+          return _embed_cols(t, lay.l_c)
+
+      live_c = to_c(live_b) > 0
+
+      if _cut(61, wc):
+          return _dummy, _dummy
+      if _cut(62, live_c):
+          return _dummy, _dummy
+      sec = jnp.full(cshape, -1, jnp.int32)
+      secstart = jnp.zeros(cshape, jnp.int32)
+      secsz = jnp.zeros(cshape, jnp.int32)
+      secbase = jnp.zeros(cshape, jnp.int32)
+      seccap = jnp.zeros(cshape, jnp.int32)
+      for i in range(nr + 1):
+          o = to_c(off_w[i])
+          s = to_c(sz_w[i])
+          here = in_chunk & (lw2 >= o)
+          sec = jnp.where(here, i, sec)
+          secstart = jnp.where(here, o, secstart)
+          secsz = jnp.where(here, s, secsz)
+          secbase = jnp.where(here, slot_bases[i], secbase)
+          seccap = jnp.where(here, slot_caps[i] * SUB, seccap)
+      j_c = lw2 - secstart
+      valid_c = (
+          in_chunk
+          & (sec >= 0)
+          & (j_c >= 0)
+          & (j_c < jnp.minimum(secsz, seccap))
+          & live_c
+      )
+      if _cut(63, secstart + secsz + secbase + seccap + sec):
+          return _dummy, _dummy
+
+      tgt_local = SUB * secbase + j_c
+
+      if _cut(64, jnp.where(valid_c, tgt_local, 0)):
+          return _dummy, _dummy
+      (blobbed,), ok_c = lanes.butterfly_right(
+          [wc], jnp.where(valid_c, tgt_local - gloc, 0), valid_c, lay.sc2,
+          nbits=lay.nbits_c,
+      )
+      blobbed = jnp.where(ok_c, blobbed, 0)
+
+      if _cut(7, blobbed):
+          return _dummy, _dummy
+
+      # ---- phase D: per-blob decode into element tiles ---------------------
+      # slice each blob's slot per chunk into [SUB, k*ep] tiles (span ep)
+      def blob_tile(bi):
+          span_b = lay.ep
+          parts = []
+          scap = slot_caps[bi]
+          for g in range(k):
+              base_col = g * lay.sc2 + slot_bases[bi]
+              sl = blobbed[:, base_col : base_col + scap]
+              if scap < span_b:
+                  sl = jnp.concatenate(
+                      [sl, jnp.zeros((SUB, span_b - scap), jnp.int32)], axis=1
+                  )
+              parts.append(sl[:, :span_b])
+          return jnp.concatenate(parts, axis=1)
+
+      # per-chunk scalars regrouped into the ep-span pipeline layout
+      def to_ep(t):
+          return lanes.regroup_scalar(t, lay.sc2, k, lay.ep)
+
+      sizes_ep = [to_ep(blob_sizes[1 + i]) for i in range(nr)]
+      fsize_ep = to_ep(fsize)
+      firsts_ep = [to_ep(f) for f in firsts_a]
+      okc_ep = to_ep(okc.astype(jnp.int32)) > 0
+      live_ep = to_ep(live_b) > 0
+
+      final_blob = blob_tile(nr)
+      cur_x, cur_n = _unpack_blob_tile(final_blob, lay.ep, ebits, bp, fsize_ep, lay.e)
+      if ebits < 32:
+          cur_x = _sext(cur_x, ebits)
+      counts_tiles = {}
+
+      if _cut(8, cur_x):
+          return _dummy, _dummy
+      for sk, idx in _inverse_schedule_static(nr, nd):
+          if sk == "rle" and idx not in counts_tiles:
+              ct, _cn = _unpack_blob_tile(
+                  blob_tile(idx), lay.ep, 16, bp, sizes_ep[idx], lay.e
+              )
+              counts_tiles[idx] = ct & jnp.int32(0xFFFF)
+
+      # elements currently sit at group flat [32, 32+e); shift to group front
+      def front(t):
+          return lanes.flat_roll_static(t, lay.ep * SUB - SUB, lay.ep)
+
+      cur_x = front(cur_x)
+      efi = lanes.flat_iota(cur_x.shape) % (lay.ep * SUB)
+      for sk, idx in _inverse_schedule_static(nr, nd):
+          if sk == "delta":
+              cur_x, cur_n = _delta_decode_tile(cur_x, firsts_ep[idx], cur_n, lay.ep, ebits)
+              cur_n = jnp.minimum(cur_n, e)
+          else:
+              cur_x, cur_n = _rle_decode_tile(cur_x, front(counts_tiles[idx]), cur_n, lay.ep)
+
+      counts_k = jnp.where(live_ep, jnp.where(okc_ep, cur_n, 0), 0)
+
+      if _cut(9, cur_x):
+          return _dummy, _dummy
+      ok_pipe_t = okc_ep | ~live_ep
+
+      # ---- partition-level checks ------------------------------------------
+      # group-level cumsum of counts over chunks (on the ep-span tile)
+      pre = _group_excl_scan(counts_k, lay.ep, k)
+      cum = pre + counts_k
+      L_ep = lay.k * lay.ep
+      ok_pipe = lanes.seg_reduce((~ok_pipe_t).astype(jnp.int32), L_ep, "max") == 0
+      total_elems = lanes.seg_reduce(cum, L_ep, "max")
+      over = lanes.seg_reduce((cum > _bc_ep(n_elems, cur_x.shape)).astype(jnp.int32), L_ep, "max")
+      n_elems_ep = _bc_ep(n_elems, cur_x.shape)
+      end_pos_ep = _bc_ep(end_pos, cur_x.shape)
+      comp_size_ep = _bc_ep(comp_size, cur_x.shape)
+      ok_pipe = ok_pipe & (total_elems == n_elems_ep) & (over == 0)
+      ok_pipe = ok_pipe & (end_pos_ep >= (comp_size_ep // 4) * 4)
+
+      # ---- phase F: ragged concat of chunk outputs -------------------------
+      jloc = efi
+      valid_f = (jloc < counts_k) & (jloc < e)
+      tgt_f = pre + jloc
+      dist_f = jnp.where(valid_f, lanes.flat_iota(cur_x.shape) - tgt_f, 0)
+      (outx,), ok_f = lanes.butterfly_left(
+          [cur_x], dist_f, valid_f, L_ep, nbits=lay.nbits_f,
+          max_dist=jnp.max(dist_f),
+      )
+      outx = jnp.where(ok_f, outx, 0)
+
+      if _cut(10, outx):
+          return _dummy, _dummy
+      return outx, ok_pipe.astype(jnp.int32)
+
+    if debug_cut:
+        outx, ok_pipe_i = _phases()
+        if debug_cut in (2, 3, 4, 5, 6, 61, 62, 63, 64, 7, 8, 9, 10):
+            return  # _cut already stored its debug tile
     else:
-        final_off = jnp.zeros(bshape, jnp.int32)
-
-    base_b = chunk_off_b + lay.meta_size
-    okc = (chunk_off_b + lay.meta_size) // 4 <= end_words_b
-
-    def in_bounds(off, size):
-        return (base_b + off) // 4 + (size + 3) // 4 <= end_words_b
-
-    fsize = blob_sizes[1 + nr]
-    okc = okc & in_bounds(final_off, fsize)
-    for i in range(nr):
-        okc = okc & in_bounds(rle_offsets[i], blob_sizes[1 + i])
-
-    if _cut(6, okc):
-        return
-
-    # ---- phase C: spread blob streams to per-blob slots ------------------
-    # group-aligned within-chunk moves: the lead column is dropped so chunk
-    # g's slot occupies lanes [g*sc2, (g+1)*sc2) exactly, and the section
-    # butterfly runs with span sc2 (distances nondecreasing within a group
-    # because every slot cap >= its section's size)
-    cshape = (SUB, lay.l_c)
-    wc = lanes.flat_roll_static(
-        _embed_cols(slotted, lay.l_c), lay.l_c * SUB - SUB, lay.l_c
-    )
-    cfi = lanes.flat_iota(cshape)
-    cid2 = cfi // (lay.sc2 * SUB)
-    gloc = cfi - cid2 * (lay.sc2 * SUB)
-    lw2 = gloc - lay.mw  # word idx past meta
-    in_chunk = cid2 < k
-    off_w = [ro // 4 for ro in rle_offsets] + [final_off // 4]
-    sz_w = [(blob_sizes[1 + i] + 3) // 4 for i in range(nr)] + [(fsize + 3) // 4]
-    # move-window clamp: every readable word fits the slot by construction
-    slot_caps = [1 + lay.cd_cols] * nr + [1 + lay.fd_cols]
-    slot_bases = []
-    acc = 1
-    for scap in slot_caps:
-        slot_bases.append(acc)
-        acc += scap
-    # the sc2-span per-chunk scalars (B-shape, groups from lane 0) align
-    # directly with the lead-dropped slot coordinates
-    def to_c(t):
-        return _embed_cols(t, lay.l_c)
-
-    live_c = to_c(live_b) > 0
-
-    if _cut(61, wc):
-        return
-    if _cut(62, live_c):
-        return
-    sec = jnp.full(cshape, -1, jnp.int32)
-    secstart = jnp.zeros(cshape, jnp.int32)
-    secsz = jnp.zeros(cshape, jnp.int32)
-    secbase = jnp.zeros(cshape, jnp.int32)
-    seccap = jnp.zeros(cshape, jnp.int32)
-    for i in range(nr + 1):
-        o = to_c(off_w[i])
-        s = to_c(sz_w[i])
-        here = in_chunk & (lw2 >= o)
-        sec = jnp.where(here, i, sec)
-        secstart = jnp.where(here, o, secstart)
-        secsz = jnp.where(here, s, secsz)
-        secbase = jnp.where(here, slot_bases[i], secbase)
-        seccap = jnp.where(here, slot_caps[i] * SUB, seccap)
-    j_c = lw2 - secstart
-    valid_c = (
-        in_chunk
-        & (sec >= 0)
-        & (j_c >= 0)
-        & (j_c < jnp.minimum(secsz, seccap))
-        & live_c
-    )
-    if _cut(63, secstart + secsz + secbase + seccap + sec):
-        return
-
-    tgt_local = SUB * secbase + j_c
-
-    if _cut(64, jnp.where(valid_c, tgt_local, 0)):
-        return
-    (blobbed,), ok_c = lanes.butterfly_right(
-        [wc], jnp.where(valid_c, tgt_local - gloc, 0), valid_c, lay.sc2,
-        nbits=lay.nbits_c,
-    )
-    blobbed = jnp.where(ok_c, blobbed, 0)
-
-    if _cut(7, blobbed):
-        return
-
-    # ---- phase D: per-blob decode into element tiles ---------------------
-    # slice each blob's slot per chunk into [SUB, k*ep] tiles (span ep)
-    def blob_tile(bi):
-        span_b = lay.ep
-        parts = []
-        scap = slot_caps[bi]
-        for g in range(k):
-            base_col = g * lay.sc2 + slot_bases[bi]
-            sl = blobbed[:, base_col : base_col + scap]
-            if scap < span_b:
-                sl = jnp.concatenate(
-                    [sl, jnp.zeros((SUB, span_b - scap), jnp.int32)], axis=1
-                )
-            parts.append(sl[:, :span_b])
-        return jnp.concatenate(parts, axis=1)
-
-    # per-chunk scalars regrouped into the ep-span pipeline layout
-    def to_ep(t):
-        return lanes.regroup_scalar(t, lay.sc2, k, lay.ep)
-
-    sizes_ep = [to_ep(blob_sizes[1 + i]) for i in range(nr)]
-    fsize_ep = to_ep(fsize)
-    firsts_ep = [to_ep(f) for f in firsts_a]
-    okc_ep = to_ep(okc.astype(jnp.int32)) > 0
-    live_ep = to_ep(live_b) > 0
-
-    final_blob = blob_tile(nr)
-    cur_x, cur_n = _unpack_blob_tile(final_blob, lay.ep, ebits, bp, fsize_ep, lay.e)
-    if ebits < 32:
-        cur_x = _sext(cur_x, ebits)
-    counts_tiles = {}
-
-    if _cut(8, cur_x):
-        return
-    for sk, idx in _inverse_schedule_static(nr, nd):
-        if sk == "rle" and idx not in counts_tiles:
-            ct, _cn = _unpack_blob_tile(
-                blob_tile(idx), lay.ep, 16, bp, sizes_ep[idx], lay.e
-            )
-            counts_tiles[idx] = ct & jnp.int32(0xFFFF)
-
-    # elements currently sit at group flat [32, 32+e); shift to group front
-    def front(t):
-        return lanes.flat_roll_static(t, lay.ep * SUB - SUB, lay.ep)
-
-    cur_x = front(cur_x)
-    efi = lanes.flat_iota(cur_x.shape) % (lay.ep * SUB)
-    for sk, idx in _inverse_schedule_static(nr, nd):
-        if sk == "delta":
-            cur_x, cur_n = _delta_decode_tile(cur_x, firsts_ep[idx], cur_n, lay.ep, ebits)
-            cur_n = jnp.minimum(cur_n, e)
-        else:
-            cur_x, cur_n = _rle_decode_tile(cur_x, front(counts_tiles[idx]), cur_n, lay.ep)
-
-    counts_k = jnp.where(live_ep, jnp.where(okc_ep, cur_n, 0), 0)
-
-    if _cut(9, cur_x):
-        return
-    ok_pipe_t = okc_ep | ~live_ep
-
-    # ---- partition-level checks ------------------------------------------
-    # group-level cumsum of counts over chunks (on the ep-span tile)
-    pre = _group_excl_scan(counts_k, lay.ep, k)
-    cum = pre + counts_k
-    L_ep = lay.k * lay.ep
-    ok_pipe = lanes.seg_reduce((~ok_pipe_t).astype(jnp.int32), L_ep, "max") == 0
-    total_elems = lanes.seg_reduce(cum, L_ep, "max")
-    over = lanes.seg_reduce((cum > _bc_ep(n_elems, cur_x.shape)).astype(jnp.int32), L_ep, "max")
-    n_elems_ep = _bc_ep(n_elems, cur_x.shape)
-    end_pos_ep = _bc_ep(end_pos, cur_x.shape)
-    comp_size_ep = _bc_ep(comp_size, cur_x.shape)
-    ok_pipe = ok_pipe & (total_elems == n_elems_ep) & (over == 0)
-    ok_pipe = ok_pipe & (end_pos_ep >= (comp_size_ep // 4) * 4)
-
-    # ---- phase F: ragged concat of chunk outputs -------------------------
-    jloc = efi
-    valid_f = (jloc < counts_k) & (jloc < e)
-    tgt_f = pre + jloc
-    dist_f = jnp.where(valid_f, lanes.flat_iota(cur_x.shape) - tgt_f, 0)
-    (outx,), ok_f = lanes.butterfly_left(
-        [cur_x], dist_f, valid_f, L_ep, nbits=lay.nbits_f,
-        max_dist=jnp.max(dist_f),
-    )
-    outx = jnp.where(ok_f, outx, 0)
-
-    if _cut(10, outx):
-        return
+        outx, ok_pipe_i = jax.lax.cond(
+            is_fallback | ~matches | ~hdr_ok,
+            lambda: (_dummy, _dummy),
+            _phases,
+        )
+    ok_pipe = ok_pipe_i > 0
 
     # ---- fallback raw path ------------------------------------------------
-    oshape = cur_x.shape
+    oshape = eshape
     ofi = lanes.flat_iota(oshape)
     w_f = _embed_cols(words_in, oshape[1])
     w_f = lanes.flat_roll_static(w_f, oshape[1] * SUB - 2, oshape[1])  # word j+2 -> j
