@@ -144,3 +144,76 @@ def test_kpack_remainders(rng):
         )
         assert (gs == 0).all() and (gl == C).all()
         np.testing.assert_array_equal(gd, arr)
+
+
+# ---------------------------------------------------------------------------
+# compression kernel
+
+
+def test_encode_oracle_identity(rng):
+    """Pallas-encoded streams are byte-identical to the pure greedy
+    sequential oracle (exact nearest-prev-occurrence matcher, unbounded
+    extension, _emit_copies splitting) across data profiles."""
+    C = 8192
+    rows = [
+        np.repeat(rng.integers(0, 5, C), rng.integers(1, 30, C)).astype(np.uint8)[:C],
+        rng.choice(np.frombuffer(b"the quick brown fox jumps over a dog ", np.uint8), C),
+        rng.integers(0, 256, C, dtype=np.uint8),
+        np.tile(np.frombuffer(b"abc", np.uint8), C // 3 + 1)[:C],
+        np.zeros(C, np.uint8),
+    ]
+    lens = np.array([C, C, C, C - 5, C], np.int32)
+    arr = np.stack(rows)
+    comp, sizes = snp.compress(jnp.asarray(arr), jnp.asarray(lens), interpret=True)
+    comp, sizes = np.asarray(comp), np.asarray(sizes)
+    for i in range(len(rows)):
+        ref = snappy_compress_oracle(rows[i][: lens[i]].tobytes())
+        assert comp[i, : sizes[i]].tobytes() == ref, f"row {i}"
+    # round-trips through both decoders
+    gd, gl, gs = map(
+        np.asarray,
+        snp.decompress(jnp.asarray(comp), jnp.asarray(sizes), C, interpret=True),
+    )
+    assert (gs == 0).all() and (gl == lens).all()
+    rd, rl, rs = map(
+        np.asarray,
+        snappy.decompress(jnp.asarray(comp), jnp.asarray(sizes), out_capacity=C),
+    )
+    assert (rs == 0).all() and (rl == lens).all()
+
+
+def test_encode_long_match_split_and_copy1(rng):
+    """Copy splitting matches the oracle exactly: >= 68-byte matches split
+    into 64-piece copy2 runs, 65..67 leave a 60-piece so the remainder
+    stays >= 4, and short near matches emit copy1."""
+    C = 4096
+    rows = []
+    # long runs (match lengths hitting 64/65/66/67/68 boundaries)
+    for extra in (60, 61, 62, 63, 64, 100, 1000):
+        r = np.zeros(C, np.uint8)
+        r[: 4 + extra] = 7
+        r[4 + extra :] = rng.integers(0, 256, C - 4 - extra)
+        rows.append(r)
+    # copy1 territory: short match at tiny offset
+    r = np.frombuffer((b"abcd" * 6 + b"XYZW" * 16)[:C].ljust(C, b"\0"), np.uint8)
+    rows.append(np.array(r))
+    arr = np.stack(rows)
+    lens = np.full(len(rows), C, np.int32)
+    comp, sizes = snp.compress(jnp.asarray(arr), jnp.asarray(lens), interpret=True)
+    comp, sizes = np.asarray(comp), np.asarray(sizes)
+    for i in range(len(rows)):
+        ref = snappy_compress_oracle(rows[i].tobytes())
+        assert comp[i, : sizes[i]].tobytes() == ref, f"row {i}"
+
+
+def test_encode_tiny_and_empty(rng):
+    C = 512
+    arr = np.zeros((3, C), np.uint8)
+    arr[0, :7] = rng.integers(1, 255, 7)
+    arr[1] = rng.integers(0, 256, C)
+    lens = np.array([7, C, 0], np.int32)
+    comp, sizes = snp.compress(jnp.asarray(arr), jnp.asarray(lens), interpret=True)
+    comp, sizes = np.asarray(comp), np.asarray(sizes)
+    for i in range(3):
+        ref = snappy_compress_oracle(arr[i, : lens[i]].tobytes())
+        assert comp[i, : sizes[i]].tobytes() == ref, f"row {i}"

@@ -291,11 +291,24 @@ def _jit_emit(data, ls, ll, ml, off, s, lengths, out_max):
 
 def compress(data, lengths, opts=None):
     """Batched snappy compression.  data: uint8[B, C]; lengths: int32[B].
-    Returns (comp uint8[B, CMAX], comp_sizes int32[B])."""
+    Returns (comp uint8[B, CMAX], comp_sizes int32[B]).
+
+    Routes to the Pallas TPU kernel (kernels/snappy_pallas.py, scalar-core
+    greedy parse with exact unbounded match extension in the 32768-byte
+    window) when enabled; the kernel's streams are byte-identical to the
+    sequential oracle and never larger than this module's block-clamped
+    XLA parse."""
+    from tpucomp import config as _cfg
+
     c = data.shape[-1]
     out_max = snappy_max_compressed_chunk_size(c)
     s_max = c // MIN_MATCH + 2
     lengths = lengths.astype(jnp.int32)
+    if _cfg.pallas_enabled():
+        from tpucomp.kernels import snappy_pallas as _snp
+
+        if _snp.supports_compress(c):
+            return _snp.compress(data, lengths)
     mlen, dist, cand = _jit_match(data, lengths)
     ls, ll, ml, off, s = _jit_parse(mlen, dist, cand, lengths, s_max)
     return _jit_emit(data, ls, ll, ml, off, s, lengths, out_max)

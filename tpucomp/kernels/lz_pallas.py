@@ -341,8 +341,15 @@ def _byte_mask16(lo, n):
     return jnp.where(nb > 0, m, jnp.uint32(0))
 
 
-def _granule_mover(k, get32u, u_ref, ob_rows: int, gm: int = TB):
-    """Predicated literal/match granule move via direct 16-row RMW of the
+GMOVE = 2048  # granule cap of the slim mover: h + g <= 511 + 2048 < 4096,
+# so the value pipeline runs entirely on (8,128) single-vreg tiles and the
+# RMW touches 8 rows (v5: lane rolls cost ~75 ns PER VREG-ROW, so the old
+# (16/32,128) machinery paid 2-4x per op; halving the granule cap costs
+# bulk data one extra iteration per 4 KB, a ~free trade)
+
+
+def _granule_mover(k, get16u, u_ref, ob_rows: int, gm: int = GMOVE):
+    """Predicated literal/match granule move via direct 8-row RMW of the
     output (shared by the LZ4 and Snappy decode kernels).
 
     v4: the compressed stream and the output live in ONE buffer (``u_ref``;
@@ -371,10 +378,10 @@ def _granule_mover(k, get32u, u_ref, ob_rows: int, gm: int = TB):
             LEAD * ROWB + lit_src,
             outb + jnp.maximum(o - m_ext, 0),
         )
-        W = _read_win16(get32u, src - h)
-        cur = _u(u_ref[k, pl.ds(ob_rows + LEAD + r0, 16), :])
-        m = _byte_mask16(h, g)
-        u_ref[k, pl.ds(ob_rows + LEAD + r0, 16), :] = (
+        W = _read_win(get16u, src - h)
+        cur = _u(u_ref[k, pl.ds(ob_rows + LEAD + r0, 8), :])
+        m = _byte_mask_tile(h, g)
+        u_ref[k, pl.ds(ob_rows + LEAD + r0, 8), :] = (
             (cur & ~m) | (W & m)
         ).astype(u_ref.dtype)
         # extent doubles only on a full-extent copy (keeps e % d == 0)
@@ -429,16 +436,11 @@ def _lz4_decode_kernel(
     cp.start()
     cp.wait()
 
-    GM = TB  # granule cap; 16-row RMW covers 4096+511 at any offset
-
     def mk_chunk(k):
         comp_len = size_ref[pl.program_id(0) * K + k]
 
         def get16d(r0):
             return _u(uv_ref[k, pl.ds(r0, 16), :])
-
-        def get32u(r0):
-            return _u(uv_ref[k, pl.ds(r0, 32), :])
 
         def byte_at(q):
             qc = jnp.clip(q, 0, nsb - 1) >> 2
@@ -466,7 +468,7 @@ def _lz4_decode_kernel(
             )
             return jnp.asarray(q + 1, jnp.int32), jnp.asarray(acc + byte_at(q), jnp.int32)
 
-        move_granule = _granule_mover(k, get32u, uv_ref, rw, GM)
+        move_granule = _granule_mover(k, get16d, uv_ref, rw)
 
         def step(c):
             p, o, rem_lit, lit_src, rem_m, m_ext, last_seen, ok = c
@@ -758,7 +760,7 @@ def _lz4_encode_kernel(
     literal window is one aligned read, and short sequences (the common
     case) complete parse + extension + emission in a single iteration."""
 
-    GM = TB  # granule cap; 16-row RMW covers 4096+511 at any offset
+    GM = GMOVE  # granule cap; 8-row RMW covers 2048+511 at any offset
 
     def mk_chunk(k):
         n = size_ref[pl.program_id(0) * K + k]
@@ -835,22 +837,22 @@ def _lz4_encode_kernel(
             tok_m = jnp.where(is_final, 0, jnp.minimum(mlen - 4, 15))
             token = (jnp.minimum(llen, 15) << 4) | tok_m
             rem_b = llen - 15 - 255 * (hl - 2)
-            H = _field_tile16(h, hl - hdr_rem, token, rem_b, hl)
-            H = H & _byte_mask16(h, gh)
+            H = _field_tile(h, hl - hdr_rem, token, rem_b, hl)
+            H = H & _byte_mask_tile(h, gh)
             lit_start = p + (llen - lit_rem)
-            L = _read_win16(
-                get32d, jnp.maximum(lit_start - (h + gh) + LEAD * ROWB, 0)
+            L = _read_win(
+                get16d, jnp.maximum(lit_start - (h + gh) + LEAD * ROWB, 0)
             )
-            L = L & _byte_mask16(h + gh, gl)
+            L = L & _byte_mask_tile(h + gh, gl)
             h2 = h + gh + gl
             mrem = (mlen - 4) - 15 - 255 * (tl - 3)
-            T = _field_tile16(h2, tl - tail_rem, off & 0xFF, mrem, tl,
-                              b1=(off >> 8) & 0xFF)
-            T = T & _byte_mask16(h2, gt)
+            T = _field_tile(h2, tl - tail_rem, off & 0xFF, mrem, tl,
+                            b1=(off >> 8) & 0xFF)
+            T = T & _byte_mask_tile(h2, gt)
 
-            cur = _u(out_ref[k, pl.ds(LEAD + r0, 16), :])
-            m = _byte_mask16(h, g)
-            out_ref[k, pl.ds(LEAD + r0, 16), :] = (cur & ~m) | H | L | T
+            cur = _u(out_ref[k, pl.ds(LEAD + r0, 8), :])
+            m = _byte_mask_tile(h, g)
+            out_ref[k, pl.ds(LEAD + r0, 8), :] = (cur & ~m) | H | L | T
 
             o = o + g
             hdr_rem = hdr_rem - gh
