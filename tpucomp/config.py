@@ -20,12 +20,6 @@ use_pallas_kernels: bool | None = None
 # (scripts/casc_decode_hw.py), enc 2.08 GB/s dec 0.60 GB/s at 17 MB tiles.
 PALLAS_VALIDATED = True
 
-# The standalone bitpack pack/unpack kernels (kernels/bitpack_pallas.py)
-# remain interpret-only: on hardware the compiled pack variant is ~250x
-# slower than the XLA scatter and mismatches (PERF.md §1).  They stay off
-# independently of the master switch; the fused cascaded kernel subsumes
-# their production role.
-BITPACK_STANDALONE_PALLAS = False
 
 
 def pallas_enabled() -> bool:

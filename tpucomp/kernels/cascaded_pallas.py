@@ -137,8 +137,11 @@ def _rle_tile(x, n, span: int):
     is_start = (fi < n) & ((fi == 0) | (x != prev))
     rank = lanes.seg_cumsum(is_start.astype(jnp.int32), span, exclusive=True)
     nruns = lanes.seg_reduce(is_start.astype(jnp.int32), span, "sum")
+    d_rle = jnp.where(is_start, fi - rank, 0)
+    # run-time stage skipping: on incompressible data (nearly) every element
+    # starts a run, distances are ~0, and all log stages are identity
     (vals, starts), ok = lanes.butterfly_left(
-        [x, fi], jnp.where(is_start, fi - rank, 0), is_start, span
+        [x, fi], d_rle, is_start, span, max_dist=jnp.max(d_rle)
     )
     vals = jnp.where(ok, vals, 0)
     starts = jnp.where(ok, starts, 0)
@@ -213,7 +216,10 @@ def _pack_data_tile(vals, frame, bw, n, span: int, ebits: int):
     nw = (ncol * bw + 31) >> 5
     wvalid = j < nw
     dist = jnp.where(wvalid, li * (SUB - bw), 0)
-    (wrd,), ok = lanes.butterfly_left([words.astype(jnp.int32)], dist, wvalid, span)
+    # bw == 32 (incompressible) gives dist == 0: all stages skip at run time
+    (wrd,), ok = lanes.butterfly_left(
+        [words.astype(jnp.int32)], dist, wvalid, span, max_dist=jnp.max(dist)
+    )
     data_words = (n * bw + 31) >> 5
     return jnp.where(ok, wrd, 0).astype(jnp.uint32), data_words
 
@@ -445,8 +451,10 @@ def _encode_kernel(lay: _Layout, len_ref, *refs):
 
     afi = lanes.flat_iota(pay.shape)
     dist = jnp.where(okv, afi - tgt, 0)
+    # distances == accumulated slot slack, small when chunks barely compress
     (packed,), okp = lanes.butterfly_left(
-        [pay], dist, okv, pay.shape[1], nbits=lay.nbits_asm
+        [pay], dist, okv, pay.shape[1], nbits=lay.nbits_asm,
+        max_dist=jnp.max(dist),
     )
     packed = jnp.where(okp, packed, 0)
 

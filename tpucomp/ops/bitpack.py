@@ -72,29 +72,11 @@ def for_bitwidth(x, n):
     return frame, bw
 
 
-# NOTE: a lax.switch over static bitwidths is the natural vector formulation
-# of bit packing, but under vmap every branch evaluates for the whole batch
-# and XLA compile time/memory explode.  Inside a Pallas kernel the switch is
-# a real per-grid-cell branch -- see tpucomp/kernels/bitpack_pallas.py,
-# selected by _pack_words_dispatch/_unpack_words_dispatch below.
-
-
 def _pack_words_dispatch(u, n, bw, max_words: int, width: int):
-    """Choose the pack implementation: Pallas kernel (one static-bitwidth
-    branch per grid cell) when enabled, word-granularity scatter otherwise."""
-    from tpucomp import config as _cfg
-
-    e = u.shape[-1]
-    if _cfg.pallas_enabled() and _cfg.BITPACK_STANDALONE_PALLAS and width <= 4 and e % 128 == 0 and max_words <= e:
-        import jax as _jax
-
-        from tpucomp.kernels import bitpack_pallas as kbp
-
-        interp = _jax.default_backend() != "tpu"
-        words = kbp.pack_words_single(
-            u.astype(jnp.uint32), jnp.asarray(n), bw, interpret=interp
-        )
-        return words[:max_words]
+    """Word-granularity scatter pack.  (The standalone Pallas pack kernel
+    was retired in round 3: on hardware it measured ~250x slower than this
+    XLA scatter, and the fused cascaded kernel's block_write path --
+    kernels/cascaded_pallas.py -- is the production TPU bitpack.)"""
     return _pack_words_scatter64(u, bw, max_words)
 
 
@@ -203,28 +185,7 @@ def bitunpack(blob, out_elements: int, width: int):
 
 
 def _unpack_words_dispatch(units, bw, out_elements: int):
-    """Unpack units -> FOR-relative values: Pallas kernel when enabled,
-    two monotone unit gathers otherwise (reference
-    src/CascadedKernels.hiph:595-612, vectorized)."""
-    udtype = units.dtype
-    tbits = jnp.iinfo(udtype).bits
-    from tpucomp import config as _cfg
-
-    if _cfg.pallas_enabled() and _cfg.BITPACK_STANDALONE_PALLAS and tbits <= 32 and out_elements % 128 == 0:
-        import jax as _jax
-
-        from tpucomp.kernels import bitpack_pallas as kbp
-
-        interp = _jax.default_backend() != "tpu"
-        # the kernel works in u32 word space; reinterpret the unit stream
-        wanted = out_elements * (tbits // 8)
-        raw = bits.units_to_bytes_le(units)
-        if raw.shape[-1] < wanted:
-            raw = jnp.concatenate([raw, jnp.zeros((wanted - raw.shape[-1],), jnp.uint8)])
-        words = bits.bytes_to_units_le(raw[: out_elements * 4], 4)
-        if words.shape[-1] < out_elements:
-            words = jnp.concatenate(
-                [words, jnp.zeros((out_elements - words.shape[-1],), jnp.uint32)]
-            )
-        return kbp.unpack_words_single(words, bw, interpret=interp).astype(udtype)
+    """Unpack units -> FOR-relative values via two monotone unit gathers
+    (reference src/CascadedKernels.hiph:595-612, vectorized).  The fused
+    cascaded kernel's block_bitunpack path is the production TPU unpack."""
     return _unpack_words_gather64(units, bw, out_elements)
