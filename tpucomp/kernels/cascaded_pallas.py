@@ -564,7 +564,7 @@ def compress(data, lengths, opts, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((b, SUB, lay.l_out), jnp.uint32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
         ),
     )(*ins)
 
@@ -1280,7 +1280,7 @@ def decompress(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bp_ // gp, SUB, gp * lay.l_out), jnp.int32),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
     )(comp_sizes.astype(jnp.int32), words_cm)
 
     out = (

@@ -629,7 +629,7 @@ def decompress(comp, comp_sizes, out_capacity: int, interpret: bool = False,
         out_shape=jax.ShapeDtypeStruct((bp, ru, ROWW), jnp.int32),
         interpret=interpret,
         input_output_aliases={1: 0},
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
     )(sizes, uv)
 
     out = out[:b]
@@ -974,7 +974,7 @@ def compress(data, lengths, stride: int = 1, interpret: bool = False,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bp, rto, ROWW), jnp.uint32),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
     )(lengths, wv, nmp_t, dist_t)
 
     out = out[:b]
