@@ -82,3 +82,49 @@ o2 = tm("out v2 byte-level    ", out_v2, cm)
 o3 = tm("out v3 grouped       ", out_v3, cm)
 print("out v2==v1:", bool((o1 == o2).all()), " v3==v1:", bool((o1 == o3).all()), flush=True)
 print("DONE", flush=True)
+
+
+# matmul-based transposes: contraction with a 32x32 one-hot is exact for
+# byte planes (one nonzero term per output), and the MXU may beat the
+# vector-unit transpose at these awkward shapes
+I32 = jnp.eye(SUB, dtype=jnp.bfloat16)
+
+
+@jax.jit
+def in_v4(by):  # bf16 one-hot einsum per byte plane, then bitcast
+    x = by.reshape(B, LW, SUB, 4)
+    planes = [x[..., t].astype(jnp.bfloat16) for t in range(4)]
+    outs = [
+        jnp.einsum("bls,ks->bkl", p, I32, preferred_element_type=jnp.float32)
+        .astype(jnp.uint8) for p in planes
+    ]
+    w = outs[0].astype(jnp.uint32)
+    for t in range(1, 4):
+        w = w | (outs[t].astype(jnp.uint32) << (8 * t))
+    return w.astype(jnp.int32)
+
+
+I32i = jnp.eye(SUB, dtype=jnp.int8)
+
+
+@jax.jit
+def in_v5(by):  # int8 one-hot einsum per byte plane
+    x = by.reshape(B, LW, SUB, 4)
+    outs = [
+        jax.lax.dot_general(
+            x[..., t].astype(jnp.int8), I32i,
+            (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).transpose(0, 2, 1)  # [B, LW, 32] -> [B, 32, LW]
+        for t in range(4)
+    ]
+    w = outs[0].astype(jnp.uint32) & 0xFF
+    for t in range(1, 4):
+        w = w | ((outs[t].astype(jnp.uint32) & 0xFF) << (8 * t))
+    return w.astype(jnp.int32)
+
+
+r4 = tm("in  v4 bf16 einsum   ", in_v4, by)
+print("in  v4==v1:", bool((r1 == r4).all()), flush=True)
+r5 = tm("in  v5 int8 dot      ", in_v5, by)
+print("in  v5==v1:", bool((r1 == r5).all()), flush=True)
