@@ -128,3 +128,23 @@ r4 = tm("in  v4 bf16 einsum   ", in_v4, by)
 print("in  v4==v1:", bool((r1 == r4).all()), flush=True)
 r5 = tm("in  v5 int8 dot      ", in_v5, by)
 print("in  v5==v1:", bool((r1 == r5).all()), flush=True)
+
+
+@jax.jit
+def in_v6(by):  # 32 strided slices + stack
+    w = jax.lax.bitcast_convert_type(by.reshape(B, LW * SUB, 4), jnp.int32)
+    w = w.reshape(B, LW, SUB)
+    return jnp.stack([w[:, :, s] for s in range(SUB)], axis=1)
+
+
+r6 = tm("in  v6 slices+stack  ", in_v6, by)
+print("in  v6==v1:", bool((r1 == r6).all()), flush=True)
+
+
+@jax.jit
+def out_v6(cm):  # inverse: interleave 32 slices
+    return jnp.stack([cm[:, s, :] for s in range(SUB)], axis=2).reshape(B, LW * SUB)
+
+
+o6 = tm("out v6 slices+stack  ", out_v6, cm)
+print("out v6==v1:", bool((o1 == o6).all()), flush=True)
