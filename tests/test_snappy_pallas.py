@@ -217,3 +217,27 @@ def test_encode_tiny_and_empty(rng):
     for i in range(3):
         ref = snappy_compress_oracle(arr[i, : lens[i]].tobytes())
         assert comp[i, : sizes[i]].tobytes() == ref, f"row {i}"
+
+
+def test_encode_large_chunk_headers(rng):
+    """>64KB chunks need 3-byte literal-length headers and >16K-byte
+    copy-element tails (the exact-div3 range) -- regression for the
+    round-3 large-chunk header bugs."""
+    C = 1 << 17
+    rows = [
+        rng.integers(0, 256, C, dtype=np.uint8),  # one 128KB literal
+        np.zeros(C, np.uint8),                    # one ~128KB match
+    ]
+    arr = np.stack(rows)
+    lens = np.full(2, C, np.int32)
+    comp, sizes = snp.compress(jnp.asarray(arr), jnp.asarray(lens), interpret=True)
+    comp, sizes = np.asarray(comp), np.asarray(sizes)
+    for i in range(2):
+        ref = snappy_compress_oracle(rows[i].tobytes())
+        assert comp[i, : sizes[i]].tobytes() == ref, f"row {i}"
+    gd, gl, gs = map(
+        np.asarray,
+        snp.decompress(jnp.asarray(comp), jnp.asarray(sizes), C, interpret=True),
+    )
+    assert (gs == 0).all() and (gl == lens).all()
+    np.testing.assert_array_equal(gd, arr)

@@ -340,7 +340,7 @@ def decompress(comp, comp_sizes, opts=None, out_capacity: int = 65536):
     if _cfg.pallas_enabled():
         from tpucomp.kernels import lz_pallas as _lzp
 
-        if _lzp.supports_decode(out_capacity):
+        if _lzp.supports_decode(comp.shape[-1], out_capacity):
             return _lzp.decompress(comp, comp_sizes, out_capacity)
     s_max = comp.shape[-1] // 3 + 2
     seqs, s, total, ok = _jit_delimit(comp, comp_sizes, out_capacity, s_max)

@@ -346,7 +346,7 @@ def decompress(comp, comp_sizes, opts=None, out_capacity: int = 65536):
     if _cfg.pallas_enabled():
         from tpucomp.kernels import snappy_pallas as _snp
 
-        if _snp.supports_decode(out_capacity):
+        if _snp.supports_decode(comp.shape[-1], out_capacity):
             return _snp.decompress(comp, comp_sizes, out_capacity)
     s_max = comp.shape[-1] // 2 + 2
     seqs, s, total, ok, _ = _jit_delimit(comp, comp_sizes, out_capacity, s_max)

@@ -572,8 +572,15 @@ def _lz4_decode_kernel(
 # XLA-side wrapper
 
 
-def supports_decode(out_capacity: int) -> bool:
-    return out_capacity >= 1
+# SMEM holds the staged streams for the scalar parser: K * rc rows of
+# 512 B must fit the ~1 MB scalar memory (a (16,136,128) i32 staging
+# measured the hard limit in round 3); keep headroom for sizes/spill
+SMEM_ROWS_BUDGET = 1880
+
+
+def supports_decode(cmax: int, out_capacity: int) -> bool:
+    rc = _rup(_cdiv(cmax, ROWB), 8)
+    return out_capacity >= 1 and rc <= SMEM_ROWS_BUDGET
 
 
 @functools.partial(jax.jit, static_argnames=("out_capacity", "interpret", "kpack", "probe_no_lsic"))
@@ -589,11 +596,12 @@ def decompress(comp, comp_sizes, out_capacity: int, interpret: bool = False,
     from tpucomp.utils import bits
 
     b, cmax = comp.shape
-    K = max(1, min(kpack, b))
-    bp = _rup(b, K)
     # stream data rows padded to 8 sublanes: an unaligned-sublane VMEM->SMEM
     # DMA hard-faults the TPU worker (observed at rc=49/129; rc=40 fine)
     rc = _rup(_cdiv(cmax, ROWB), 8)
+    # large chunks shrink the interleave so the SMEM staging fits
+    K = max(1, min(kpack, b, SMEM_ROWS_BUDGET // rc))
+    bp = _rup(b, K)
     rw = LEAD + rc + 32  # window-read slack: reads reach r0 + 32 <= rw
     ro = _cdiv(out_capacity, ROWB)
     r_res = LEAD + _rup(ro, 8) + 32

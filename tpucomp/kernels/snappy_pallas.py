@@ -186,8 +186,11 @@ def _snappy_decode_kernel(
         chunks[k][2](c)
 
 
-def supports_decode(out_capacity: int) -> bool:
-    return out_capacity >= 1
+def supports_decode(cmax: int, out_capacity: int) -> bool:
+    from tpucomp.kernels.lz_pallas import SMEM_ROWS_BUDGET
+
+    rc = _rup(_cdiv(cmax, ROWB), 8)
+    return out_capacity >= 1 and rc <= SMEM_ROWS_BUDGET
 
 
 @functools.partial(jax.jit, static_argnames=("out_capacity", "interpret", "kpack"))
@@ -200,10 +203,13 @@ def decompress(comp, comp_sizes, out_capacity: int, interpret: bool = False,
     codecs/snappy.py decompress."""
     from tpucomp.utils import bits
 
+    from tpucomp.kernels.lz_pallas import SMEM_ROWS_BUDGET
+
     b, cmax = comp.shape
-    K = max(1, min(kpack, b))
-    bp = _rup(b, K)
     rc = _rup(_cdiv(cmax, ROWB), 8)
+    # large chunks shrink the interleave so the SMEM staging fits
+    K = max(1, min(kpack, b, SMEM_ROWS_BUDGET // rc))
+    bp = _rup(b, K)
     rw = LEAD + rc + 32
     ro = _cdiv(out_capacity, ROWB)
     r_res = LEAD + _rup(ro, 8) + 32
@@ -286,22 +292,36 @@ from tpucomp.kernels.lz_pallas import (
 
 
 def _div3(x):
-    """Exact x // 3 for 0 <= x < 32768 (21846 = ceil(2^16 / 3))."""
-    return (x * 21846) >> 16
+    """Exact x // 3 for 0 <= x < 2^24 (two-step: 4096 = 3*1365 + 1, so
+    x = 4096 hi + lo gives x//3 = 1365 hi + (hi + lo)//3 with
+    hi + lo < 12288, where the 21846 = ceil(2^16/3) trick is exact)."""
+    hi = x >> 12
+    lo = x & 4095
+    return 1365 * hi + (((hi + lo) * 21846) >> 16)
 
 
 def _snp_lit_hdr_tile(h, bi0, llen, hl):
     """(8,128) u32 tile carrying a snappy literal header at flat bytes
     [h, ...): byte with field index bi (= flat_byte - h + bi0) takes the
-    tag at bi==0 (1-byte form (llen-1)<<2 when hl==1, else the 60/61
-    multi-byte tags), then little-endian (llen-1) bytes.  Pure selects."""
+    tag at bi==0 (1-byte form (llen-1)<<2 when hl==1, else the 60/61/62
+    multi-byte tags), then little-endian (llen-1) bytes (up to 3: literal
+    runs reach the chunk size, 2^24 covers 16 MB chunks).  Pure selects."""
     v = llen - 1
     fwi = _fwi((8, ROWW))
     words = jnp.zeros((8, ROWW), jnp.int32)
     for t in range(4):
         bi = (fwi * 4 + t) - h + bi0
-        tag = jnp.where(hl == 1, v << 2, jnp.where(hl == 2, 60 << 2, 61 << 2))
-        b = jnp.where(bi == 0, tag, jnp.where(bi == 1, v & 0xFF, (v >> 8) & 0xFF))
+        tag = jnp.where(
+            hl == 1, v << 2,
+            jnp.where(hl == 2, 60 << 2, jnp.where(hl == 3, 61 << 2, 62 << 2)),
+        )
+        b = jnp.where(
+            bi == 0,
+            tag,
+            jnp.where(
+                bi == 1, v & 0xFF, jnp.where(bi == 2, (v >> 8) & 0xFF, (v >> 16) & 0xFF)
+            ),
+        )
         words = words | ((b & 0xFF) << (8 * t))
     return _u(words)
 
@@ -321,7 +341,7 @@ def _snp_tail_tile(h, bi0, off, n68, has60, m2, fin1):
     words = jnp.zeros((8, ROWW), jnp.int32)
     for t in range(4):
         bi = (fwi * 4 + t) - h + bi0
-        bic = jnp.clip(bi, 0, 1 << 14)
+        bic = jnp.clip(bi, 0, (1 << 24) - 1)
         e = _div3(bic)
         r = bic - 3 * e
         tag = jnp.where(e < n68, (63 << 2) | 2, (59 << 2) | 2)
@@ -379,7 +399,13 @@ def _snappy_encode_kernel(
 
         def hdr_len(llen):
             return jnp.where(
-                llen <= 0, 0, jnp.where(llen <= 60, 1, jnp.where(llen <= 256, 2, 3))
+                llen <= 0,
+                0,
+                jnp.where(
+                    llen <= 60,
+                    1,
+                    jnp.where(llen <= 256, 2, jnp.where(llen <= 65536, 3, 4)),
+                ),
             )
 
         # carry: p(anchor), o, q, off, mlen, llen, hdr_rem, lit_rem,
