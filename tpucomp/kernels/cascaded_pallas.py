@@ -58,9 +58,18 @@ def _rup(x, m: int):
     return (x + (m - 1)) // m * m
 
 
+# VMEM bound: the kernel holds a whole partition's element tile plus the
+# pipeline's ping-pong intermediates; 256 KB partitions compile and
+# round-trip on v5e hardware, 512 KB+ exhaust scoped VMEM (round-3 sweep,
+# scripts/large_chunks_hw.py).  Larger partitions use the XLA path.
+MAX_PARTITION = 262144
+
+
 def supports(opts, capacity: int) -> bool:
     """Static gate for the Pallas compress path."""
     w = width_of(opts.type)
+    if capacity > MAX_PARTITION:
+        return False
     if w not in (1, 2, 4):
         return False
     if opts.chunk_size % w:
