@@ -904,7 +904,10 @@ def _lz4_encode_kernel(
 
 
 def supports_compress(capacity: int) -> bool:
-    return capacity >= 1
+    # VMEM bound: the encode cell holds the chunk stream plus two
+    # position tables; 1 MB chunks compile and round-trip on v5e
+    # (round-3 sweep), larger sizes route to the XLA path
+    return 1 <= capacity <= (1 << 20)
 
 
 @functools.partial(jax.jit, static_argnames=("stride", "interpret", "kpack"))

@@ -543,7 +543,8 @@ def _snappy_encode_kernel(
 
 
 def supports_compress(capacity: int) -> bool:
-    return capacity >= 1
+    # same VMEM bound as lz_pallas.supports_compress (validated at 1 MB)
+    return 1 <= capacity <= (1 << 20)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "kpack"))
