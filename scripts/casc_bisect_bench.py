@@ -1,5 +1,10 @@
 """Stage-bisect timing of the fused cascaded Pallas encoder on hardware.
 
+Round-3 note: reps raised 4 -> 24 because the tunnel's ~35 ms device_get
+sync swamped the earlier readings (the "passthrough ~= full kernel"
+conclusion was a sync artifact; the profiler shows the device 100% busy
+during these loops).
+
 Times the full compress under opts configs that enable progressively more
 pipeline stages, plus a passthrough kernel as the grid/DMA overhead
 baseline.  Run: nohup python scripts/casc_bisect_bench.py > /tmp/casc_bisect.log 2>&1 &
@@ -23,7 +28,7 @@ lens = np.full(B, C, np.int32)
 da, dl = jnp.asarray(arr), jnp.asarray(lens)
 
 
-def timeit(name, fn, *args, reps=4):
+def timeit(name, fn, *args, reps=24):
     t0 = time.time()
     out = fn(*args)
     jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[:2])

@@ -51,7 +51,7 @@ print("enc byte-identity vs XLA:", "OK" if ident else "FAIL", flush=True)
 mb = B * C / 1e6
 
 
-def tput(name, fn, reps=6):
+def tput(name, fn, reps=24):
     r = fn()
     # sync the warmup so its device tail is not charged to the timed window
     jax.device_get(jax.tree_util.tree_leaves(r)[-1].ravel()[:2])
