@@ -28,7 +28,7 @@ mb = B * C / 1e6
 print(f"compressed to {float(np.asarray(sizes).sum())/1e6:.1f} MB", flush=True)
 
 
-def timeit(name, fn, reps=4):
+def timeit(name, fn, reps=24):  # sync-amortized (tunnel device_get ~35 ms)
     out = fn()
     jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[:2])
     t0 = time.perf_counter()

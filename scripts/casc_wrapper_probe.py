@@ -60,7 +60,7 @@ def out_transform(out):
     return data, out_bytes, statuses
 
 
-def timeit(name, fn, reps=6):
+def timeit(name, fn, reps=24):  # sync-amortized (tunnel device_get ~35 ms)
     out = fn()
     jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[:2])
     t0 = time.perf_counter()

@@ -64,7 +64,7 @@ c1 = np.asarray(out_v1(out[:2]))
 print("out bitcast LE match:", bool((c0 == c1).all()), flush=True)
 
 
-def tput(name, fn, arg, nbytes, reps=8):
+def tput(name, fn, arg, nbytes, reps=24):  # sync-amortized
     r = fn(arg)
     jax.device_get(r.ravel()[:2])
     t0 = time.perf_counter()

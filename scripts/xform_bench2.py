@@ -19,7 +19,7 @@ by = jnp.asarray(rng.integers(0, 256, (B, L * SUB * 4), dtype=np.uint8))
 NB = B * L * SUB * 4
 
 
-def tput(name, fn, *args, reps=8):
+def tput(name, fn, *args, reps=24):  # sync-amortized
     r = jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
