@@ -90,12 +90,16 @@ def _chip_roofline() -> float:
     return 819.0
 
 
-def bench_cascaded(total_mb: int = 64, iters: int = 8, tile: int = 128) -> dict:
+def bench_cascaded(total_mb: int = 64, iters: int = 16, tile: int = 128) -> dict:
     """Throughput over the corpus, dispatched in ``tile``-chunk sub-batches.
 
     Intermediate buffers scale with the batch dim, and oversized batches
     degrade superlinearly from HBM pressure (PERF.md); a pipelined caller
-    dispatches sweet-spot tiles, so the bench does too.
+    dispatches sweet-spot tiles.  The bench folds the tile loop into ONE
+    jitted lax.map per iteration: round-3 profiling showed per-tile host
+    dispatch (~2.5 ms through the tunnel) exceeded decode's ~1.2 ms/tile
+    device time, so the per-tile-dispatch bench was host-bound and read
+    ~half the true device rate.
     """
     import jax
     import jax.numpy as jnp
@@ -113,34 +117,39 @@ def bench_cascaded(total_mb: int = 64, iters: int = 8, tile: int = 128) -> dict:
     total = b * chunk
     data = np.frombuffer(corpus, np.uint8)[: b * chunk].reshape(b // tile, tile, chunk)
     lengths = np.full((tile,), chunk, np.int32)
-    tiles = [jnp.asarray(t) for t in data]
+    tiles = jnp.asarray(data)  # [T, tile, chunk], resident once
     l = jnp.asarray(lengths)
+
+    enc_all = jax.jit(lambda ts: jax.lax.map(lambda t: cc.compress(t, l, opts), ts))
+    dec_all = jax.jit(
+        lambda cs, ss: jax.lax.map(
+            lambda a: cc.decompress(a[0], a[1], opts, chunk), (cs, ss)
+        )
+    )
 
     # device_get of a small result forces real completion (block_until_ready
     # can return early through remote-device tunnels).  The tunnel sync
-    # itself costs ~35 ms; iters amortize it (profiler-verified device-side
-    # execution is 2.5 ms enc / 1.2 ms dec per 8 MB tile on this corpus)
-    comp0 = cc.compress(tiles[0], l, opts)  # compile + warm
-    jax.device_get(comp0[1])
+    # itself costs ~35 ms; iters amortize it.
+    comps = enc_all(tiles)  # compile + warm
+    jax.device_get(comps[1][-1])
     t0 = time.perf_counter()
     for _ in range(iters):
-        comps = [cc.compress(t, l, opts) for t in tiles]
-    jax.device_get(comps[-1][1])
+        comps = enc_all(tiles)
+    jax.device_get(comps[1][-1])
     enc_s = (time.perf_counter() - t0) / iters
 
-    out0 = cc.decompress(comps[0][0], comps[0][1], opts, chunk)
-    jax.device_get(out0[2])
+    outs = dec_all(comps[0], comps[1])
+    jax.device_get(outs[2][-1])
     t0 = time.perf_counter()
     for _ in range(iters):
-        outs = [cc.decompress(c, s, opts, chunk) for c, s in comps]
-    jax.device_get(outs[-1][2])
+        outs = dec_all(comps[0], comps[1])
+    jax.device_get(outs[2][-1])
     dec_s = (time.perf_counter() - t0) / iters
 
-    ok = all(
-        bool((np.asarray(o[0]) == d).all() and (np.asarray(o[2]) == 0).all())
-        for o, d in zip(outs, data)
+    ok = bool(
+        (np.asarray(outs[0]) == data).all() and (np.asarray(outs[2]) == 0).all()
     )
-    comp_total = sum(float(np.asarray(s).sum()) for _, s in comps)
+    comp_total = float(np.asarray(comps[1]).sum())
     gb = total / 1e9
     return {
         "encode_gbps": gb / enc_s,
@@ -168,30 +177,36 @@ def bench_lz(codec_name: str, total_mb: int = 8, iters: int = 2, tile: int = 128
     b = b // tile * tile
     total = b * chunk
     data = np.frombuffer(corpus, np.uint8)[: b * chunk].reshape(b // tile, tile, chunk)
-    tiles = [jnp.asarray(t) for t in data]
+    tiles = jnp.asarray(data)
     l = jnp.full((tile,), chunk, jnp.int32)
 
-    comp0 = codec.compress(tiles[0], l)
-    jax.device_get(comp0[1])
+    enc_all = jax.jit(lambda ts: jax.lax.map(lambda t: codec.compress(t, l), ts))
+    dec_all = jax.jit(
+        lambda cs, ss: jax.lax.map(
+            lambda a: codec.decompress(a[0], a[1], out_capacity=chunk), (cs, ss)
+        )
+    )
+
+    comps = enc_all(tiles)
+    jax.device_get(comps[1][-1])
     t0 = time.perf_counter()
     for _ in range(iters):
-        comps = [codec.compress(t, l) for t in tiles]
-    jax.device_get(comps[-1][1])
+        comps = enc_all(tiles)
+    jax.device_get(comps[1][-1])
     enc_s = (time.perf_counter() - t0) / iters
 
-    out0 = codec.decompress(comps[0][0], comps[0][1], out_capacity=chunk)
-    jax.device_get(out0[2])
+    outs = dec_all(comps[0], comps[1])
+    jax.device_get(outs[2][-1])
     t0 = time.perf_counter()
     for _ in range(iters):
-        outs = [codec.decompress(c, s, out_capacity=chunk) for c, s in comps]
-    jax.device_get(outs[-1][2])
+        outs = dec_all(comps[0], comps[1])
+    jax.device_get(outs[2][-1])
     dec_s = (time.perf_counter() - t0) / iters
 
-    ok = all(
-        bool((np.asarray(o[0]) == d).all() and (np.asarray(o[2]) == 0).all())
-        for o, d in zip(outs, data)
+    ok = bool(
+        (np.asarray(outs[0]) == data).all() and (np.asarray(outs[2]) == 0).all()
     )
-    comp_total = sum(float(np.asarray(s).sum()) for _, s in comps)
+    comp_total = float(np.asarray(comps[1]).sum())
     return {
         "encode_gbps": total / 1e9 / enc_s,
         "decode_gbps": total / 1e9 / dec_s,
