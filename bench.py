@@ -90,7 +90,7 @@ def _chip_roofline() -> float:
     return 819.0
 
 
-def bench_cascaded(total_mb: int = 64, iters: int = 16, tile: int = 128) -> dict:
+def bench_cascaded(total_mb: int = 64, iters: int = 24, tile: int = 128) -> dict:
     """Throughput over the corpus, dispatched in ``tile``-chunk sub-batches.
 
     Intermediate buffers scale with the batch dim, and oversized batches
