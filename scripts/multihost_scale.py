@@ -94,7 +94,19 @@ if pid == 0:
 """
 
 
+def _free_port() -> int:
+    """Ephemeral coordinator port: hardcoded ports collide with lingering
+    workers from a previous run (ADVICE r3)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 def run(nproc: int, total_mb: int, port: int, codec: str = "cascaded") -> dict:
+    if nproc > 1 and not port:
+        port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
     procs = [
@@ -118,10 +130,10 @@ def main():
     # codecs (LZ4 at a smaller corpus -- the XLA:CPU LZ4 formulation is slow
     # and the harness only needs the scaling ratio, not absolute GB/s)
     rows = []
-    for codec, total_mb, base_port in (("cascaded", 64, 23457), ("lz4", 8, 23467)):
+    for codec, total_mb in (("cascaded", 64), ("lz4", 8)):
         pair = []
-        for nproc, port in ((1, 0), (2, base_port)):
-            r = run(nproc, total_mb, port, codec)
+        for nproc in (1, 2):
+            r = run(nproc, total_mb, 0, codec)
             print(json.dumps(r), flush=True)
             pair.append(r)
         e1, e2 = pair[0]["enc_gbps"], pair[1]["enc_gbps"]

@@ -34,6 +34,16 @@ def test_bench_cascaded_roundtrip_smoke():
 def test_bench_lz_roundtrip_smoke():
     r = bench.bench_lz("lz4", total_mb=1, iters=1, tile=8)
     assert r["roundtrip_ok"] is True
-    assert r["ratio"] >= 1.0  # mixed corpus compresses under LZ4
+    # >0.9 not >=1.0: if the vendored corpus blob is absent the synth
+    # fallback's incompressible quarter can push a 1 MB slice below 1.0
+    assert r["ratio"] > 0.9
     r = bench.bench_lz("snappy", total_mb=1, iters=1, tile=8)
     assert r["roundtrip_ok"] is True
+
+
+def test_bench_cascaded_runheavy_smoke():
+    # the run-heavy slice must actually engage the RLE/Delta/BP pipeline:
+    # ratio well above the raw-copy fallback's ~1.0
+    r = bench.bench_cascaded(total_mb=1, iters=1, tile=8, corpus_kind="runheavy")
+    assert r["roundtrip_ok"] is True
+    assert r["ratio"] > 2.0, r["ratio"]

@@ -67,11 +67,17 @@ print(f"proc {pid} OK", flush=True)
 """
 
 
-@pytest.mark.timeout(300)
+# No pytest-timeout in this image: the hang bound is the in-test
+# communicate(timeout=240) + kill below, which caps this test's wall time
+# without any plugin.
 def test_two_process_distributed_roundtrip(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)
-    port = "25731"
+    import socket
+
+    with socket.socket() as s:  # ephemeral port: avoid collisions
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
     env = dict(os.environ)
     env["PYTHONPATH"] = os.pathsep.join(
         [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
