@@ -95,8 +95,20 @@ def suffix_id_levels(data, max_h: int):
     return levels
 
 
+# Suffix-level height cap for large chunks: levels are built to
+# min(c/2, MATCH_H_CAP), bounding peak memory at ~log2(cap) * 4 * c bytes
+# and sort work at log2(cap) passes.  Matches stay exact up to the walk
+# ceiling 2*cap + 3 bytes; a longer true match is reported at the ceiling
+# and the greedy parse simply re-anchors inside it (the continuation is the
+# next candidate at the same offset), costing ~3 stream bytes per 2*cap of
+# match -- negligible ratio, and required to make the reference's 16 MB
+# chunk range (include/hipcomp/lz4.h:67-74) tractable on one device.
+MATCH_H_CAP = 1 << 16
+
+
 def match_lengths(data, n, j, max_offset: int):
-    """Exact common-prefix length of data[i:n] vs data[j[i]:n] (unbounded).
+    """Common-prefix length of data[i:n] vs data[j[i]:n], exact up to
+    2*MATCH_H_CAP + 3 (unbounded below that ceiling).
 
     Binary greedy walk over suffix-id levels (high -> low): at level h the
     next h bytes match iff the level ids agree, so the walk accumulates the
@@ -110,11 +122,11 @@ def match_lengths(data, n, j, max_offset: int):
     cand = (j >= 0) & (dist <= max_offset)
 
     # closed-form low levels; sort-built doubling levels cover 8..>=c/2
-    # (walk ceiling 2H+3 >= c covers any in-chunk match)
+    # (walk ceiling 2H+3 >= c covers any in-chunk match below the cap)
     id1 = data.astype(jnp.int32)
     id2 = id1 | (jnp.roll(id1, -1) << 8)
     id4 = jax.lax.bitcast_convert_type(u32_keys(data), jnp.int32)
-    levels = suffix_id_levels(data, max(8, c // 2))
+    levels = suffix_id_levels(data, min(max(8, c // 2), MATCH_H_CAP))
     walk = levels[::-1] + [(4, id4), (2, id2), (1, id1)]
 
     # the candidate shares the 4-byte sort key, so the walk starts at 4;
