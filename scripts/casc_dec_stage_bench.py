@@ -13,12 +13,20 @@ from tpucomp.kernels import cascaded_pallas as cp
 print("devices", jax.devices(), flush=True)
 rng = np.random.default_rng(0)
 C = 65536
-B = 256  # 16 MB per call (production tile)
+B = int(os.environ.get("DECSTAGE_B", "256"))  # 16 MB per call (production tile)
 opts = CascadedOpts()
 
-raw = np.repeat(
-    rng.integers(0, 50, C * B // 4), rng.integers(1, 9, C * B // 4)
-).astype(np.int32).tobytes()[: B * C]
+if os.environ.get("DECSTAGE_CORPUS", "runs") == "runheavy":
+    # the bench's run-heavy slice (bench.runheavy_corpus): where the decode
+    # pipeline genuinely engages
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import runheavy_corpus
+    raw = runheavy_corpus(B * C)
+else:
+    raw = np.repeat(
+        rng.integers(0, 50, C * B // 4), rng.integers(1, 9, C * B // 4)
+    ).astype(np.int32).tobytes()[: B * C]
 arr = np.frombuffer(raw, np.uint8).reshape(B, C).copy()
 lens = np.full(B, C, np.int32)
 da, dl = jnp.asarray(arr), jnp.asarray(lens)
@@ -41,7 +49,7 @@ def timeit(name, fn, reps=24):  # sync-amortized (tunnel device_get ~35 ms)
 
 
 prev = 0.0
-for cut in [1, 2, 3, 4, 5, 6, 61, 62, 63, 64, 7, 8, 0]:
+for cut in [1, 2, 3, 4, 5, 6, 61, 62, 63, 64, 7, 8, 81, 90, 91, 92, 9, 10, 11, 0]:
     try:
         dt = timeit(f"cut={cut}", lambda cut=cut: cp.decompress(comp, sizes, opts, C, debug_cut=cut))
     except Exception as e:

@@ -470,6 +470,32 @@ def main():
         f"(sum {1e3*(dtd+dtl):.1f}); decoupling bound {dtp/max(dtd, dtl):.2f}x",
         flush=True,
     )
+
+    # ---- load balance: cells run until their slowest chunk finishes, and
+    # mixed-corpus chunk costs vary ~100x (text ~5K seqs, runs ~300, random
+    # ~40 iters).  Sorting chunks by descriptor count before K-grouping
+    # bounds the straggler waste; measure production AND drain on the
+    # sorted batch (decode of a permuted batch is the same work).
+    order = np.argsort(-nseq, kind="stable")
+    comp_s = jnp.asarray(comp_np[order])
+    sizes_s = jnp.asarray(csz[order])
+    arr_s = arr[order]
+    (outps, dtps) = timeit(lambda: lzp.decompress(comp_s, sizes_s, C), "production-sorted")
+    okps = (np.asarray(outps[0]) == arr_s).all() and (np.asarray(outps[2]) == 0).all()
+    print("production-sorted correctness:", "OK" if okps else "FAIL", flush=True)
+    dnseq_s = jnp.asarray(nseq[order])
+    ddesc_s = jnp.asarray(desc[order])
+    (outds, dtds) = timeit(
+        lambda: drain(comp_s, dnseq_s, ddesc_s, C, s_max=s_max), "drain-sorted"
+    )
+    okds = (np.asarray(outds[0]) == arr_s).all()
+    print("drain-sorted correctness:", "OK" if okds else "FAIL", flush=True)
+    print(
+        f"BALANCE: production {dtp*1e3:.1f} -> sorted {dtps*1e3:.1f} ms "
+        f"({dtp/dtps:.2f}x); drain {dtd*1e3:.1f} -> sorted {dtds*1e3:.1f} ms "
+        f"({dtd/dtds:.2f}x)",
+        flush=True,
+    )
     print("DONE", flush=True)
 
 

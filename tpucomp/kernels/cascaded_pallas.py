@@ -1073,18 +1073,23 @@ def _decode_one(lay: _DLayout, gp: int, p: int, size_ref, comp_ref, out_ref, deb
               )
               counts_tiles[idx] = ct & jnp.int32(0xFFFF)
 
+      if _cut(81, cur_x):  # counts blobs unpacked, pipeline not yet run
+          return _dummy, _dummy
+
       # elements currently sit at group flat [32, 32+e); shift to group front
       def front(t):
           return lanes.flat_roll_static(t, lay.ep * SUB - SUB, lay.ep)
 
       cur_x = front(cur_x)
       efi = lanes.flat_iota(cur_x.shape) % (lay.ep * SUB)
-      for sk, idx in _inverse_schedule_static(nr, nd):
+      for opi, (sk, idx) in enumerate(_inverse_schedule_static(nr, nd)):
           if sk == "delta":
               cur_x, cur_n = _delta_decode_tile(cur_x, firsts_ep[idx], cur_n, lay.ep, ebits)
               cur_n = jnp.minimum(cur_n, e)
           else:
               cur_x, cur_n = _rle_decode_tile(cur_x, front(counts_tiles[idx]), cur_n, lay.ep)
+          if _cut(90 + opi, cur_x):  # after inverse op #opi (schedule order)
+              return _dummy, _dummy
 
       counts_k = jnp.where(live_ep, jnp.where(okc_ep, cur_n, 0), 0)
 
@@ -1123,7 +1128,7 @@ def _decode_one(lay: _DLayout, gp: int, p: int, size_ref, comp_ref, out_ref, deb
 
     if debug_cut:
         outx, ok_pipe_i = _phases()
-        if debug_cut in (2, 3, 4, 5, 6, 61, 62, 63, 64, 7, 8, 9, 10):
+        if debug_cut in (2, 3, 4, 5, 6, 61, 62, 63, 64, 7, 8, 81, 90, 91, 92, 93, 9, 10):
             return  # _cut already stored its debug tile
     else:
         outx, ok_pipe_i = jax.lax.cond(
