@@ -419,8 +419,8 @@ def main():
     # host delimit -> descriptor tables
     all_seqs = [delimit_host(comp_np[i, : csz[i]].tobytes()) for i in range(B)]
     nseq = np.array([len(s) for s in all_seqs], np.int32)
-    s_max = 8192
-    assert nseq.max() <= s_max, nseq.max()
+    s_max = (int(nseq.max()) + 511) // 512 * 512
+    assert s_max <= 10240, nseq.max()
     print(f"sequences/chunk: mean {nseq.mean():.0f} max {nseq.max()}", flush=True)
     desc = np.zeros((B, s_max * 3), np.int32)
     for i, seqs in enumerate(all_seqs):
@@ -499,5 +499,170 @@ def main():
     print("DONE", flush=True)
 
 
+def drain2_main():
+    """K-sweep of the scratch-free drain (results: /tmp/drain2.log, PERF.md)."""
+    import sys as _sys
+    from bench import load_corpus
+    from tpucomp.codecs import lz4
+
+    print("devices", jax.devices(), flush=True)
+    C, B = 65536, 128
+    corpus = load_corpus(B * C, seed=1)
+    arr = np.frombuffer(corpus, np.uint8).reshape(B, C)
+    comp, sizes = lz4.compress(jnp.asarray(arr), jnp.full((B,), C, jnp.int32))
+    csz = np.asarray(sizes)
+    comp_np = np.asarray(comp)
+    all_seqs = [delimit_host(comp_np[i, : csz[i]].tobytes()) for i in range(B)]
+    nseq = np.array([len(s) for s in all_seqs], np.int32)
+    s_max = (int(nseq.max()) + 511) // 512 * 512
+    desc4 = np.zeros((B, s_max * 4), np.int32)
+    for i, seqs in enumerate(all_seqs):
+        a = np.asarray(seqs, np.int32)
+        desc4[i, : a.size] = a.reshape(-1)
+    dn, dd = jnp.asarray(nseq), jnp.asarray(desc4)
+    for K in (8, 4, 2, 1):
+        out = drain2(comp, dn, dd, C, kpack=K, s_max=s_max)
+        jax.device_get(out[1][:2])
+        ok = (np.asarray(out[0]) == arr).all() and (np.asarray(out[1]) == C).all()
+        t0 = time.perf_counter()
+        for _ in range(8):
+            out = drain2(comp, dn, dd, C, kpack=K, s_max=s_max)
+        jax.device_get(out[1][:2])
+        dt = (time.perf_counter() - t0) / 8
+        print(f"DRAIN2 K={K}: {dt*1e3:6.1f} ms -> {B*C/1e9/dt:.4f} GB/s ok={ok}", flush=True)
+    print("DONE", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--drain2" in _sys.argv:
+        drain2_main()
+    else:
+        main()
+
+
+# --------------------------------------------------------------------------
+# DRAIN-V2: no SMEM scratch / no entry DMA (descriptors read by VMEM word
+# extraction).  Tests whether the shared SMEM scratch + staging DMA is what
+# serializes grid cells: the vector megacore probe (scripts history) showed
+# scratch-free latency-bound cell bodies overlap ~2x at grid=2 for free.
+
+
+def _drain2_kernel(rw: int, rt: int, r_res: int, K: int, S: int,
+                   ns_ref, in_ref, dv_ref, uv_ref):
+    from tpucomp.kernels.lz_pallas import _extract_word
+
+    drows = dv_ref.shape[1]
+
+    def mk_chunk(k):
+        nseq = ns_ref[pl.program_id(0) * K + k]
+
+        def get16d(r0):
+            return _u(uv_ref[k, pl.ds(r0, 16), :])
+
+        def tbl(x):
+            e = jnp.clip(x, 0, drows * ROWW - 1)
+            return _extract_word(
+                lambda r: dv_ref[k, pl.ds(jnp.clip(r, 0, drows - 1), 1), :], e
+            )
+
+        move_granule = _granule_mover(k, get16d, uv_ref, rw)
+
+        def step(c):
+            si, o, rem_lit, lit_src, rem_m, m_ext = c
+            pending = (rem_lit > 0) | (rem_m > 0)
+            pop = ~pending & (si < nseq)
+            base = si * 4
+            w0 = tbl(base)
+            w1 = tbl(base + 1)
+            w2 = tbl(base + 2)
+            w3 = tbl(base + 3)
+            rem_lit = jnp.where(pop, w1, rem_lit)
+            lit_src = jnp.where(pop, w0, lit_src)
+            rem_m = jnp.where(pop, w2, rem_m)
+            m_ext = jnp.where(pop, jnp.maximum(w3, 1), m_ext)
+            si = jnp.where(pop, si + 1, si)
+            ok = jnp.bool_(True)
+            o, rem_lit, lit_src, rem_m, m_ext = move_granule(
+                o, rem_lit, lit_src, rem_m, m_ext, ok
+            )
+            o, rem_lit, lit_src, rem_m, m_ext = move_granule(
+                o, rem_lit, lit_src, rem_m, m_ext, ok
+            )
+            return (si, o, rem_lit, lit_src, rem_m, m_ext)
+
+        init = tuple(jnp.int32(0) for _ in range(6))
+
+        def active(c):
+            return (c[0] < nseq) | (c[2] > 0) | (c[4] > 0)
+
+        def finalize(c):
+            o = c[1]
+            li = _li((1, ROWW))
+            row = jnp.where(li == 0, o, 0)
+            uv_ref[k, rw + r_res : rw + r_res + 1, :] = row.astype(uv_ref.dtype)
+
+        return init, step, active, finalize
+
+    chunks = [mk_chunk(k) for k in range(K)]
+
+    def cond(cs):
+        a = chunks[0][2](cs[0])
+        for k, c in enumerate(cs[1:], 1):
+            a = a | chunks[k][2](c)
+        return a
+
+    def body(cs):
+        return tuple(chunks[k][1](c) for k, c in enumerate(cs))
+
+    finals = jax.lax.while_loop(cond, body, tuple(ch[0] for ch in chunks))
+    for k, c in enumerate(finals):
+        chunks[k][3](c)
+
+
+@functools.partial(jax.jit, static_argnames=("out_capacity", "kpack", "s_max", "interpret"))
+def drain2(comp, nseqs, desc4, out_capacity: int, kpack: int = 8, s_max: int = 8192,
+           interpret: bool = False):
+    b, cmax = comp.shape
+    rc = _rup(_cdiv(cmax, ROWB), 8)
+    K = kpack
+    bp = _rup(b, K)
+    rw = LEAD + rc + 32
+    ro = _cdiv(out_capacity, ROWB)
+    r_res = LEAD + _rup(ro, 8) + 32
+    rt = _rup(r_res + 1, 8)
+    ru = rw + rt
+    pad = ru * ROWB - cmax - LEAD * ROWB
+    lead = jnp.zeros((b, LEAD * ROWB), jnp.uint8)
+    cw = jnp.concatenate([comp[:, :cmax], jnp.zeros((b, pad), jnp.uint8)], axis=1)
+    cw = jnp.concatenate([lead, cw], axis=1)
+    uv = bits.bytes_to_units_le(cw, 4).astype(jnp.int32).reshape(bp, ru, ROWW)
+    drows = _rup(_cdiv(s_max * 4, ROWW), 8)
+    dv = jnp.zeros((bp, drows * ROWW), jnp.int32)
+    dv = dv.at[:, : desc4.shape[1]].set(desc4)
+    dv = dv.reshape(bp, drows, ROWW)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bp // K,),
+        in_specs=[
+            pl.BlockSpec((K, ru, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, drows, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, ru, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_drain2_kernel, rw, rt, r_res, K, s_max),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bp, ru, ROWW), jnp.int32),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+    )(nseqs, uv, dv)
+    out = out[:b]
+    lengths = out[:, rw + r_res, 0].astype(jnp.int32)
+    data = bits.units_to_bytes_le(
+        out[:, rw + LEAD : rw + LEAD + ro].astype(jnp.uint32).reshape(b, ro * ROWW)
+    )[:, :out_capacity]
+    return data, lengths
