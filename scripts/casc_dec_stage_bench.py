@@ -49,7 +49,13 @@ def timeit(name, fn, reps=24):  # sync-amortized (tunnel device_get ~35 ms)
 
 
 prev = 0.0
-for cut in [1, 2, 3, 4, 5, 6, 61, 62, 63, 64, 7, 8, 81, 90, 91, 92, 9, 10, 11, 0]:
+cuts_env = os.environ.get("DECSTAGE_CUTS")
+cuts = (
+    [int(c) for c in cuts_env.split(",")]
+    if cuts_env
+    else [1, 2, 3, 4, 5, 6, 61, 62, 63, 64, 7, 8, 81, 90, 91, 92, 9, 10, 11, 0]
+)
+for cut in cuts:
     try:
         dt = timeit(f"cut={cut}", lambda cut=cut: cp.decompress(comp, sizes, opts, C, debug_cut=cut))
     except Exception as e:

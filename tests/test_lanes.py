@@ -109,6 +109,36 @@ def test_seg_cumsum(rng, span, exclusive):
     np.testing.assert_array_equal(flat, expect)
 
 
+@pytest.mark.parametrize("span", [8, 16, L])
+@pytest.mark.parametrize("exclusive", [False, True])
+@pytest.mark.parametrize("active", [1, 17, 100, SUB * 8])
+def test_seg_cumsum_max_active(rng, span, exclusive, active):
+    """The bounded scan's contract: exact at flat slots < max_active, and
+    the per-group MAX of the inclusive scan is exact everywhere (partial
+    sums of nonnegative inputs never exceed the true total)."""
+    active = min(active, span * SUB)
+    x = rng.integers(0, 100, SUB * L).astype(np.uint32)
+    # zero inputs past the active region, as callers guarantee
+    seg = span * SUB
+    xf = x.copy()
+    for g in range(0, SUB * L, seg):
+        xf[g + active : g + seg] = 0
+    out = run_kernel(
+        lambda t: lanes.seg_cumsum(
+            t.astype(jnp.int32), span, exclusive=exclusive,
+            max_active=jnp.int32(active),
+        ).astype(jnp.uint32),
+        jnp.asarray(cm(xf)),
+    )
+    flat = uncm(out).astype(np.int64)
+    for g in range(0, SUB * L, seg):
+        c = np.cumsum(xf[g : g + seg])
+        exp = np.concatenate([[0], c[:-1]]) if exclusive else c
+        np.testing.assert_array_equal(flat[g : g + active], exp[:active])
+        if not exclusive:
+            assert flat[g : g + seg].max() == c.max()
+
+
 @pytest.mark.parametrize("span", [8, L])
 @pytest.mark.parametrize("op,npf", [("sum", np.sum), ("min", np.min), ("max", np.max), ("or", np.bitwise_or.reduce)])
 def test_seg_reduce(rng, span, op, npf):

@@ -648,7 +648,10 @@ def _delta_decode_tile(d, first, n, span: int, ebits: int):
     ops/delta.py delta_decode."""
     fi = lanes.flat_iota(d.shape) % (span * SUB)
     masked = jnp.where(fi < n, d, 0)
-    inc = lanes.seg_cumsum(masked, span)
+    # occupancy bound: deltas live in n slots, output is read through slot n;
+    # before the last RLE expansion n is typically a few % of the span, so
+    # most lane-scan stages skip at run time
+    inc = lanes.seg_cumsum(masked, span, max_active=jnp.max(n) + 1)
     exc = jnp.where(fi == 0, 0, lanes.flat_roll_static(inc, 1, span))
     out = exc + first
     if ebits < 32:
@@ -667,15 +670,35 @@ def _rle_decode_tile(vals, counts, num_runs, span: int):
     run (often far below the group span)."""
     fi = lanes.flat_iota(vals.shape) % (span * SUB)
     c = jnp.where(fi < num_runs, counts, 0)
-    inc = lanes.seg_cumsum(c, span)
+    # occupancy bound: runs live in num_runs slots (inc's group max -- the
+    # output count -- survives stage skipping exactly; see seg_cumsum)
+    nr_bound = jnp.max(num_runs) + 1
+    inc = lanes.seg_cumsum(c, span, max_active=nr_bound)
     total = lanes.seg_reduce(inc, span, "max")
     starts = inc - c
     nz = (fi < num_runs) & (c > 0)
-    rank = lanes.seg_cumsum(nz.astype(jnp.int32), span, exclusive=True)
-    comp_dist = jnp.where(nz, fi - rank, 0)
-    (v2, s2), ok = lanes.butterfly_left(
-        [vals, starts], comp_dist, nz, span, max_dist=jnp.max(comp_dist)
+    # zero-count runs exist only in corrupt/foreign streams (the encoder
+    # always emits counts >= 1): skip the whole compaction apparatus --
+    # rank scan + two-payload butterfly -- behind one partition-level cond
+    # (A/B on the full kernel: 8.9 vs 9.3 ms/8 MB run-heavy, within tunnel
+    # noise but consistently in the cond's favor)
+    any_zero = jnp.min(jnp.where(fi < num_runs, c, 1)) <= 0
+
+    def _compact(args):
+        v, st = args
+        rank = lanes.seg_cumsum(
+            nz.astype(jnp.int32), span, exclusive=True, max_active=nr_bound
+        )
+        comp_dist = jnp.where(nz, fi - rank, 0)
+        (v2, s2), ok = lanes.butterfly_left(
+            [v, st], comp_dist, nz, span, max_dist=jnp.max(comp_dist)
+        )
+        return v2, s2, ok.astype(jnp.int32)
+
+    v2, s2, ok_i = jax.lax.cond(
+        any_zero, _compact, lambda a: (a[0], a[1], nz.astype(jnp.int32)), (vals, starts)
     )
+    ok = ok_i > 0
     # clamp corrupt run starts to the group so expansion cannot contaminate
     # neighbouring chunks (the XLA path's per-chunk vmap isolates them; any
     # clamp collision only garbles this group, and the partition-level count
@@ -709,7 +732,11 @@ def _unpack_blob_tile(blob, span: int, tbits: int, use_bp: bool, size, e: int):
         jq = lanes.div_dyn(
             jnp.maximum(j, 0), jnp.maximum(bw, 1), max(1, (span * SUB - 1).bit_length())
         )
-        jread = (e * bw + 31) >> 5  # words the e-element reader touches
+        # words covering the first min(n, e) elements: elements past n are
+        # masked below, so words past n*bw bits never influence the output
+        # and need not spread (shrinks the butterfly's run-time max_dist
+        # from the e-element capacity to the actual element count)
+        jread = (jnp.minimum(n, e) * bw + 31) >> 5
         tgt = SUB + jq * SUB + (j - jq * bw)
         valid = (j >= 0) & (j < jread) & (bw > 0)
         dspread = jnp.where(valid, tgt - fi, 0)
@@ -729,14 +756,19 @@ def _unpack_blob_tile(blob, span: int, tbits: int, use_bp: bool, size, e: int):
     per = 4 // width
     n = size // width
     m = fi
-    valid = m < _cdiv(e * width, 4)
+    # words covering the first min(n, e) elements (element n-1 ends at byte
+    # n*width, so word m is needed iff 4m < n*width); later elements are
+    # masked, so skipping their words cannot change the output
+    valid = (m < _cdiv(e * width, 4)) & (m * 4 < n * width)
     tgt = SUB + m * per
     draw = jnp.where(valid, tgt - fi, 0)
     (wv,), okw = lanes.butterfly_right(
         [blob], draw, valid, span, max_dist=jnp.max(draw)
     )
     wv = jnp.where(okw, wv, 0)
-    wv = lanes.ffill(wv, okw, span)
+    # consecutive words land `per` slots apart, so any used slot is within
+    # per-1 of its source (static bound; per == 1 skips the fill outright)
+    wv = lanes.ffill(wv, okw, span, max_gap=per - 1)
     ei = fi - SUB
     if per > 1:
         sh = ((ei % per) * width * 8).astype(jnp.uint32)
@@ -1097,6 +1129,25 @@ def _decode_one(lay: _DLayout, gp: int, p: int, size_ref, comp_ref, out_ref, deb
           return _dummy, _dummy
       ok_pipe_t = okc_ep | ~live_ep
 
+      n_elems_ep = _bc_ep(n_elems, cur_x.shape)
+      end_pos_ep = _bc_ep(end_pos, cur_x.shape)
+      comp_size_ep = _bc_ep(comp_size, cur_x.shape)
+      if k == 1:
+          # ---- single-chunk partition (the production 64 KB layout) --------
+          # every per-chunk quantity (counts_k, okc_ep, live_ep) is uniform
+          # across the one group, so the partition checks are elementwise and
+          # the ragged concat is the identity: elements already sit at their
+          # final positions (pre == 0), no butterfly, no seg_reduce rolls
+          ok_pipe = ok_pipe_t
+          ok_pipe = ok_pipe & (counts_k == n_elems_ep)
+          ok_pipe = ok_pipe & (end_pos_ep >= (comp_size_ep // 4) * 4)
+          jloc = efi
+          valid_f = (jloc < counts_k) & (jloc < e)
+          outx = jnp.where(valid_f, cur_x, 0)
+          if _cut(10, outx):
+              return _dummy, _dummy
+          return outx, ok_pipe.astype(jnp.int32)
+
       # ---- partition-level checks ------------------------------------------
       # group-level cumsum of counts over chunks (on the ep-span tile)
       pre = _group_excl_scan(counts_k, lay.ep, k)
@@ -1105,9 +1156,6 @@ def _decode_one(lay: _DLayout, gp: int, p: int, size_ref, comp_ref, out_ref, deb
       ok_pipe = lanes.seg_reduce((~ok_pipe_t).astype(jnp.int32), L_ep, "max") == 0
       total_elems = lanes.seg_reduce(cum, L_ep, "max")
       over = lanes.seg_reduce((cum > _bc_ep(n_elems, cur_x.shape)).astype(jnp.int32), L_ep, "max")
-      n_elems_ep = _bc_ep(n_elems, cur_x.shape)
-      end_pos_ep = _bc_ep(end_pos, cur_x.shape)
-      comp_size_ep = _bc_ep(comp_size, cur_x.shape)
       ok_pipe = ok_pipe & (total_elems == n_elems_ep) & (over == 0)
       ok_pipe = ok_pipe & (end_pos_ep >= (comp_size_ep // 4) * 4)
 

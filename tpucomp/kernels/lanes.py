@@ -107,11 +107,21 @@ def flat_roll_dynamic(x, d, span: int):
     return x
 
 
-def seg_cumsum(x, span: int, *, exclusive: bool = False):
+def seg_cumsum(x, span: int, *, exclusive: bool = False, max_active=None):
     """Per-group inclusive (or exclusive) prefix sum over column-major order.
 
     Two-level Hillis-Steele: sublane scan within columns, lane scan of
     column totals within each ``span``-lane group, then combine.
+
+    ``max_active``: optional traced scalar upper bound on the number of
+    occupied leading flat slots per group (occupied means: slots whose
+    cumsum value a consumer will read AND slots holding nonzero input).
+    Lane-scan stages that only propagate into columns past the last
+    occupied one are skipped at run time (a lax.cond per stage).  Values
+    at flat slots >= max_active are then garbage-partial -- callers must
+    mask by their own validity bound.  The per-group MAX of the result is
+    still exact (partial sums never exceed the true total, which is fully
+    propagated to the last occupied slot).
     """
     s = x.shape[0]
     si = sublane_iota(x.shape)
@@ -130,10 +140,22 @@ def seg_cumsum(x, span: int, *, exclusive: bool = False):
     prev = jnp.zeros_like(tot)
     step = 1
     while step < span:
-        sh = group_lane_roll(col, step, span)
-        add = jnp.where(li >= step, sh, 0).astype(col.dtype)
-        col = col + add
-        prev = prev + add
+
+        def lstage(args, step=step):
+            col, prev = args
+            sh = group_lane_roll(col, step, span)
+            add = jnp.where(li >= step, sh, 0).astype(col.dtype)
+            return col + add, prev + add
+
+        if max_active is None:
+            col, prev = lstage((col, prev))
+        else:
+            # stage `step` first matters for column index `step`; the last
+            # occupied column is (max_active-1)//s, so run iff
+            # (max_active-1)//s >= step  <=>  max_active > step*s
+            col, prev = jax.lax.cond(
+                max_active > step * s, lstage, lambda a: a, (col, prev)
+            )
         step <<= 1
     out = acc + prev
     if exclusive:
