@@ -75,6 +75,10 @@ CONFIGS = [
     (CascadedOpts(type=DataType.SHORT, chunk_size=4096), 8192, "runs"),
     (CascadedOpts(type=DataType.UCHAR, chunk_size=4096), 8192, "runs"),
     (CascadedOpts(type=DataType.UCHAR, num_rles=1, num_deltas=0, chunk_size=512), 4096, "runs"),
+    # k == 1 (out_capacity <= chunk_size): the statically specialized
+    # single-chunk-partition path -- exact and ragged
+    (CascadedOpts(), 4096, "runs"),
+    (CascadedOpts(), 2048, "runs"),
     (CascadedOpts(type=DataType.USHORT, use_bp=False, num_rles=1, num_deltas=1, chunk_size=2048), 6144, "runs"),
 ]
 
