@@ -55,6 +55,10 @@ cuts = (
     if cuts_env
     else [1, 2, 3, 4, 5, 6, 61, 62, 63, 64, 7, 8, 81, 90, 91, 92, 9, 10, 11, 0]
 )
+# a 90+opi cut beyond the schedule never fires and would silently time the
+# FULL pipeline under its stage label -- drop such ids for these opts
+n_ops = len(cp._inverse_schedule_static(opts.num_rles, opts.num_deltas))
+cuts = [c for c in cuts if not (90 <= c < 100 and c - 90 >= n_ops)]
 for cut in cuts:
     try:
         dt = timeit(f"cut={cut}", lambda cut=cut: cp.decompress(comp, sizes, opts, C, debug_cut=cut))

@@ -120,16 +120,22 @@ def _drain_kernel(rw: int, rt: int, r_res: int, K: int, S: int,
             si, o, rem_lit, lit_src, rem_m, m_ext = c
             pending = (rem_lit > 0) | (rem_m > 0)
             pop = ~pending & (si < nseq)
-            # 3 SMEM scalar loads per sequence (the descriptor "queue")
+            # 3 SMEM scalar loads per sequence (the descriptor "queue").
+            # Word 2 packs off (16 bits, may occupy the sign bit) with a
+            # biased match length (mlen in {0} u [4, 65536] -> {0} u
+            # [1, 65533], 16 bits): the previous `off << 17 | mlen` form
+            # overflowed int32 for offsets >= 16384 and mis-decoded; a
+            # 4-words-per-seq table would exceed the 1 MB SMEM scratch.
             base = si * 3
             idx = jnp.clip(base, 0, drows * ROWW - 3)
             w0 = ws_ref[k, idx // ROWW, idx % ROWW]
             w1 = ws_ref[k, (idx + 1) // ROWW, (idx + 1) % ROWW]
             w2 = ws_ref[k, (idx + 2) // ROWW, (idx + 2) % ROWW]
+            mlen_b = w2 & 0xFFFF
             rem_lit = jnp.where(pop, w1, rem_lit)
             lit_src = jnp.where(pop, w0, lit_src)
-            rem_m = jnp.where(pop, w2 & 0x1FFFF, rem_m)
-            m_ext = jnp.where(pop, jnp.maximum(w2 >> 17, 1), m_ext)
+            rem_m = jnp.where(pop, jnp.where(mlen_b > 0, mlen_b + 3, 0), rem_m)
+            m_ext = jnp.where(pop, jnp.maximum((w2 >> 16) & 0xFFFF, 1), m_ext)
             si = jnp.where(pop, si + 1, si)
             ok = jnp.bool_(True)
             o, rem_lit, lit_src, rem_m, m_ext = move_granule(
@@ -422,15 +428,18 @@ def main():
     s_max = (int(nseq.max()) + 511) // 512 * 512
     assert s_max <= 10240, nseq.max()
     print(f"sequences/chunk: mean {nseq.mean():.0f} max {nseq.max()}", flush=True)
+    # word 2 = off<<16 | biased mlen (see _drain_kernel): both fields fit
+    # 16 bits, unlike the former off<<17|mlen packing which overflowed
     desc = np.zeros((B, s_max * 3), np.int32)
     for i, seqs in enumerate(all_seqs):
-        a = np.asarray(seqs, np.int32)
+        a = np.asarray(seqs, np.uint32)
         if len(a):
-            d = np.empty((len(a), 3), np.int32)
+            d = np.empty((len(a), 3), np.uint32)
             d[:, 0] = a[:, 0]
             d[:, 1] = a[:, 1]
-            d[:, 2] = a[:, 3] << 17 | a[:, 2]
-            desc[i, : len(a) * 3] = d.reshape(-1)
+            mlen_b = np.where(a[:, 2] > 0, a[:, 2] - 3, 0)
+            d[:, 2] = (a[:, 3] << np.uint32(16)) | mlen_b
+            desc[i, : len(a) * 3] = d.reshape(-1).view(np.int32)
     dnseq = jnp.asarray(nseq)
     ddesc = jnp.asarray(desc)
 

@@ -176,13 +176,16 @@ def main():
 
         doc["codecs"][name] = {"strong": strong_rows, "weak": weak_rows}
 
-    # keep any multihost section a previous run of multihost_scale.py wrote
+    # merge over the existing doc: preserve every section this harness does
+    # not own (multihost rows from multihost_scale.py, the committed
+    # diagnosis, any future keys) rather than allow-listing known ones
     path = os.path.join(os.path.dirname(__file__), "..", "MULTICHIP_SCALING.json")
     if os.path.exists(path):
         try:
             old = json.load(open(path))
-            if "multihost" in old:
-                doc["multihost"] = old["multihost"]
+            for key, val in old.items():
+                if key not in ("harness", "host_cores", "codecs"):
+                    doc[key] = val
         except Exception:
             pass
     with open(path, "w") as f:

@@ -94,14 +94,7 @@ if pid == 0:
 """
 
 
-def _free_port() -> int:
-    """Ephemeral coordinator port: hardcoded ports collide with lingering
-    workers from a previous run (ADVICE r3)."""
-    import socket
-
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
+from tpucomp.parallel.multihost import free_port as _free_port
 
 
 def run(nproc: int, total_mb: int, port: int, codec: str = "cascaded") -> dict:

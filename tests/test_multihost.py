@@ -73,11 +73,9 @@ print(f"proc {pid} OK", flush=True)
 def test_two_process_distributed_roundtrip(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)
-    import socket
+    from tpucomp.parallel.multihost import free_port
 
-    with socket.socket() as s:  # ephemeral port: avoid collisions
-        s.bind(("127.0.0.1", 0))
-        port = str(s.getsockname()[1])
+    port = str(free_port())  # ephemeral: avoid collisions
     env = dict(os.environ)
     env["PYTHONPATH"] = os.pathsep.join(
         [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]

@@ -1176,8 +1176,15 @@ def _decode_one(lay: _DLayout, gp: int, p: int, size_ref, comp_ref, out_ref, deb
 
     if debug_cut:
         outx, ok_pipe_i = _phases()
-        if debug_cut in (2, 3, 4, 5, 6, 61, 62, 63, 64, 7, 8, 81, 90, 91, 92, 93, 9, 10):
-            return  # _cut already stored its debug tile
+        # every cut id other than the pre-phase header cut (1) and the
+        # fallback cut (11) names a stage inside _phases, including the
+        # schedule-dependent 90+opi ids -- return so the debug tile _cut
+        # stored is not overwritten by the normal select/store path.
+        # (A cut id that never fires for the current schedule stores
+        # nothing and times the full pipeline; casc_dec_stage_bench.py
+        # filters its cut list against the schedule.)
+        if debug_cut not in (1, 11):
+            return
     else:
         outx, ok_pipe_i = jax.lax.cond(
             is_fallback | ~matches | ~hdr_ok,

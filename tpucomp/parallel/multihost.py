@@ -32,6 +32,22 @@ from tpucomp.core.chunking import ChunkBatch
 from tpucomp.parallel.sharding import DATA_AXIS, pad_batch
 
 
+def free_port() -> int:
+    """An ephemeral localhost port for the jax.distributed coordinator.
+
+    Hardcoded ports collide with lingering workers from a previous run
+    (ADVICE r3); binding port 0 on a throwaway socket asks the OS for a
+    currently-free one.  (Inherent TOCTOU: the port can be reclaimed
+    between here and the coordinator's bind -- callers that retry should
+    call this again for each attempt.)
+    """
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 def initialize(coordinator_address: str | None = None, num_processes: int | None = None,
                process_id: int | None = None) -> None:
     """Bring up the jax.distributed runtime (no-op if already up)."""
