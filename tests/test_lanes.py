@@ -368,3 +368,55 @@ def test_select_word(rng):
 
     out = run_kernel(f, jnp.asarray(cm(x)))
     assert (np.asarray(out) == x[pos]).all()
+
+
+@pytest.mark.parametrize("with_zero_runs", [False, True])
+def test_rle_decode_tile_zero_count_runs(rng, with_zero_runs):
+    """cascaded_pallas._rle_decode_tile: the zero-count compaction branch
+    sits behind a lax.cond the encoder never triggers (it always emits
+    counts >= 1) -- exercise both branches directly against a numpy
+    oracle.  Zero-count runs write nothing, as ops/rle.py rle_decode and
+    the reference."""
+    from tpucomp.kernels import cascaded_pallas as cp
+
+    span = 16
+    seg = span * SUB
+    n_groups = L // span
+    num_runs = rng.integers(1, 40, n_groups)
+    vals = np.zeros(SUB * L, np.int32)
+    counts = np.zeros(SUB * L, np.int32)
+    expect = np.zeros(SUB * L, np.int64)
+    totals = []
+    for g in range(n_groups):
+        nr = int(num_runs[g])
+        v = rng.integers(-50, 50, nr)
+        c = rng.integers(1, 9, nr)
+        if with_zero_runs:
+            c[rng.integers(0, nr, max(1, nr // 3))] = 0
+        # keep the expansion inside the group
+        while c.sum() > seg:
+            c[np.argmax(c)] -= 1
+        vals[g * seg : g * seg + nr] = v
+        counts[g * seg : g * seg + nr] = c
+        expect[g * seg : g * seg + int(c.sum())] = np.repeat(v, c)
+        totals.append(int(c.sum()))
+
+    nrt = np.zeros(SUB * L, np.int32)
+    for g in range(n_groups):
+        nrt[g * seg : (g + 1) * seg] = num_runs[g]
+
+    out, tot = run_kernel(
+        lambda v, c, nr: cp._rle_decode_tile(
+            v.astype(jnp.int32), c.astype(jnp.int32), nr.astype(jnp.int32), span
+        ),
+        jnp.asarray(cm(vals).astype(np.uint32)),
+        jnp.asarray(cm(counts).astype(np.uint32)),
+        jnp.asarray(cm(nrt).astype(np.uint32)),
+        n_out=2,
+        out_dtype=jnp.int32,
+    )
+    flat = uncm(out).astype(np.int64)
+    np.testing.assert_array_equal(flat, expect)
+    tflat = uncm(tot)
+    for g in range(n_groups):
+        assert (tflat[g * seg : (g + 1) * seg] == totals[g]).all()
