@@ -109,7 +109,8 @@ def _chip_roofline() -> float:
 
 
 def bench_cascaded(
-    total_mb: int = 64, iters: int = 24, tile: int = 128, corpus_kind: str = "mixed"
+    total_mb: int = 256, iters: int = 16, tile: int = 128, corpus_kind: str = "mixed",
+    measure_roofline: bool = False,
 ) -> dict:
     """Throughput over the corpus, dispatched in ``tile``-chunk sub-batches.
 
@@ -119,7 +120,13 @@ def bench_cascaded(
     jitted lax.map per iteration: round-3 profiling showed per-tile host
     dispatch (~2.5 ms through the tunnel) exceeded decode's ~1.2 ms/tile
     device time, so the per-tile-dispatch bench was host-bound and read
-    ~half the true device rate.
+    ~half the true device rate.  Round 5 widened a dispatch to 256 MB: the
+    fast-path rates (tens of GB/s) would otherwise be bounded by the
+    ~2.5 ms host dispatch itself, not the device.
+
+    ``measure_roofline`` also times a bare slice copy of the compressed
+    tiles through the identical harness -- the memcpy ceiling any
+    decompress formulation could reach -- reported as ``memcpy_gbps``.
     """
     import jax
     import jax.numpy as jnp
@@ -171,12 +178,22 @@ def bench_cascaded(
     )
     comp_total = float(np.asarray(comps[1]).sum())
     gb = total / 1e9
-    return {
+    res = {
         "encode_gbps": gb / enc_s,
         "decode_gbps": gb / dec_s,
         "ratio": total / comp_total,
         "roundtrip_ok": ok,
     }
+    if measure_roofline:
+        cp = jax.jit(lambda cs: jax.lax.map(lambda c: c[:, 8 : 8 + chunk], cs))
+        out = cp(comps[0])
+        jax.device_get(out[-1, -1, -1])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = cp(comps[0])
+        jax.device_get(out[-1, -1, -1])
+        res["memcpy_gbps"] = gb / ((time.perf_counter() - t0) / iters)
+    return res
 
 
 def bench_lz(codec_name: str, total_mb: int = 8, iters: int = 8, tile: int = 128) -> dict:
@@ -249,8 +266,9 @@ def main():
 
     target = 0.5 * _chip_roofline()
     if args.codec == "main":  # the BASELINE north-star pair: cascaded + lz4
-        rc = bench_cascaded(total_mb=args.mb or 64)
-        rr = bench_cascaded(total_mb=min(args.mb or 32, 32), corpus_kind="runheavy")
+        rc = bench_cascaded(total_mb=args.mb or 256, measure_roofline=True)
+        rr = bench_cascaded(total_mb=min(args.mb or 64, 64), iters=8,
+                            corpus_kind="runheavy")
         rl = bench_lz("lz4", total_mb=min(args.mb or 8, 8))
         vals = [min(r["encode_gbps"], r["decode_gbps"]) for r in (rc, rl)]
         geo = float(np.prod(vals)) ** 0.5
@@ -259,7 +277,8 @@ def main():
                 {
                     "metric": "geomean min(enc,dec) GB/s/chip, cascaded+lz4, mixed_v1 corpus (vendored Silesia-profile stand-in), 64KB chunks "
                     f"(cascaded-mixed:enc={rc['encode_gbps']:.3f},dec={rc['decode_gbps']:.3f},"
-                    f"ratio={rc['ratio']:.2f},ok={rc['roundtrip_ok']} "
+                    f"ratio={rc['ratio']:.2f},ok={rc['roundtrip_ok']},"
+                    f"memcpy-roofline={rc['memcpy_gbps']:.1f} "
                     f"cascaded-runheavy:enc={rr['encode_gbps']:.3f},dec={rr['decode_gbps']:.3f},"
                     f"ratio={rr['ratio']:.2f},ok={rr['roundtrip_ok']} "
                     f"lz4:enc={rl['encode_gbps']:.4f},dec={rl['decode_gbps']:.4f},"
@@ -267,14 +286,14 @@ def main():
                     "value": round(geo, 4),
                     "unit": "GB/s",
                     "vs_baseline": round(geo / target, 5),
-                    "harness": "r4-single-dispatch",
+                    "harness": "r5-256MB-dispatch",
                 }
             )
         )
         return
     if args.codec in ("cascaded", "cascaded-runheavy"):
         kind = "runheavy" if args.codec.endswith("runheavy") else "mixed"
-        r = bench_cascaded(total_mb=args.mb or (32 if kind == "runheavy" else 64),
+        r = bench_cascaded(total_mb=args.mb or (64 if kind == "runheavy" else 256),
                            corpus_kind=kind)
         label = args.codec
     elif args.codec in ("lz4", "snappy"):
@@ -282,7 +301,7 @@ def main():
         label = args.codec
     else:  # all: geomean over codecs
         rs = {
-            "cascaded": bench_cascaded(total_mb=args.mb or 64),
+            "cascaded": bench_cascaded(total_mb=args.mb or 256),
             "lz4": bench_lz("lz4", total_mb=args.mb or 8),
             "snappy": bench_lz("snappy", total_mb=args.mb or 8),
         }
@@ -300,7 +319,7 @@ def main():
                     "value": round(geo, 4),
                     "unit": "GB/s",
                     "vs_baseline": round(geo / target, 5),
-                    "harness": "r4-single-dispatch",
+                    "harness": "r5-256MB-dispatch",
                 }
             )
         )
@@ -315,7 +334,7 @@ def main():
                 "value": value,
                 "unit": "GB/s",
                 "vs_baseline": round(value / target, 4),
-                "harness": "r4-single-dispatch",
+                "harness": "r5-256MB-dispatch",
             }
         )
     )

@@ -16,13 +16,31 @@ C = 65536
 B = int(os.environ.get("DECSTAGE_B", "256"))  # 16 MB per call (production tile)
 opts = CascadedOpts()
 
-if os.environ.get("DECSTAGE_CORPUS", "runs") == "runheavy":
+_corpus_kind = os.environ.get("DECSTAGE_CORPUS", "runs")
+if _corpus_kind == "runheavy":
     # the bench's run-heavy slice (bench.runheavy_corpus): where the decode
     # pipeline genuinely engages
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from bench import runheavy_corpus
     raw = runheavy_corpus(B * C)
+elif _corpus_kind == "mixedpipe":
+    # ONLY the mixed corpus's pipeline (non-fallback) partitions -- the
+    # barely-compressible regime that dominates the mixed decode number
+    # (full occupancy, near-identity expansions; ratio ~1.02)
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import load_corpus
+    mix = np.frombuffer(load_corpus(64 * 1024 * 1024), np.uint8)
+    parts = mix[: mix.size // C * C].reshape(-1, C)
+    pc, ps = cascaded.compress(
+        jnp.asarray(parts), jnp.full(parts.shape[0], C, np.int32), CascadedOpts()
+    )
+    nonfb = np.asarray(pc[:, :3]).sum(-1) != 0
+    pipe = parts[nonfb]
+    print(f"mixed pipe partitions: {pipe.shape[0]}/{parts.shape[0]}", flush=True)
+    reps_needed = -(-B // pipe.shape[0])
+    raw = np.tile(pipe, (reps_needed, 1))[:B].tobytes()
 else:
     raw = np.repeat(
         rng.integers(0, 50, C * B // 4), rng.integers(1, 9, C * B // 4)

@@ -79,12 +79,22 @@ def chunk_output_max(opts: CascadedOpts) -> int:
 
 
 def partition_output_max(capacity_bytes: int, opts: CascadedOpts) -> int:
-    """Buffer size able to hold either the chunked or the fallback layout."""
+    """Output buffer bytes per partition.
+
+    The fallback rule caps every emitted partition at roundUp4(n) + 8 bytes
+    -- the reference reports exactly this as the max compressed size
+    (src/lowlevel/CascadedBatch.hip:321-324) -- so the buffer does not need
+    the chunked-layout worst case (~2x the input), which only materializes
+    transiently before the fallback select.  For w == 8 the final chunk's
+    element-width trailing pad can push a non-fallback partition up to 4
+    bytes past the cap (the incremental oob check tracks blob ends, not the
+    trailing pad), hence the slack word.
+    """
     w = width_of(opts.type)
-    k = max(1, -(-capacity_bytes // opts.chunk_size))
-    chunked = PARTITION_HEADER + k * chunk_output_max(opts)
-    fallback = PARTITION_HEADER + round_up_to(capacity_bytes, 4)
-    return round_up_to(max(chunked, fallback), max(4, w))
+    slack = 4 if w == 8 else 0
+    return round_up_to(
+        PARTITION_HEADER + round_up_to(capacity_bytes, 4) + slack, max(4, w)
+    )
 
 
 def _schedule(opts: CascadedOpts):
@@ -537,6 +547,143 @@ def _compress_xla(data, lengths, opts: CascadedOpts):
     return jax.vmap(lambda d, l: _compress_partition(d, l, opts))(data, lengths)
 
 
+# ---------------------------------------------------------------------------
+# round-5 raw-fallback encode fast path
+#
+# On mixed/incompressible corpora ~3/4 of 64 KB partitions take the raw
+# fallback (a header + shifted byte copy), yet the compress pipeline used
+# to run in full for every partition before the fallback select.  The
+# classifier below proves fallback ahead of time for most such partitions;
+# the Pallas encode kernel then skips the whole pipeline for flagged cells
+# (per-cell cond on a prefetched flag, kernels/cascaded_pallas.py).
+
+
+def _flags_supported(opts: CascadedOpts) -> bool:
+    """Configs with a cheap *certain-fallback* classifier (encode side)."""
+    w = width_of(opts.type)
+    if w not in (1, 2, 4):
+        return False
+    if opts.num_rles == 0 and opts.num_deltas == 0 and not opts.use_bp:
+        return True  # no layers: every partition falls back (reference :857)
+    if not opts.use_bp:
+        return False
+    if opts.num_rles == 0:
+        return True  # pure delta chain: exact elementwise sizes
+    return opts.num_rles in (1, 2) and opts.num_deltas in (0, 1)
+
+
+def _sext32(v, ebits: int):
+    if ebits >= 32:
+        return v
+    m = jnp.int32(1 << (ebits - 1))
+    return ((v & jnp.int32((1 << ebits) - 1)) ^ m) - m
+
+
+def _bitpack_size(count, values, valid, width: int):
+    """Exact bitpack blob size for the masked values (ops/bitpack.py
+    semantics: signed min/max, range wraps in 32-bit math, hdr + data
+    words).  ``values`` are sign-extended int32; ``valid`` masks the live
+    entries; ``count`` is the packed element count."""
+    big = jnp.int32(2**31 - 1)
+    mn = jnp.min(jnp.where(valid, values, big), axis=-1)
+    mx = jnp.max(jnp.where(valid, values, -big - 1), axis=-1)
+    rng = bits.bitcast(mx, jnp.uint32) - bits.bitcast(mn, jnp.uint32)
+    bw = jnp.where(count > 0, bits.bit_width(rng), 0)
+    hdr = bp.bitpack_header_size(width)
+    return hdr + 4 * ((count * bw + 31) >> 5)
+
+
+def _fallback_certain(data, lengths, opts: CascadedOpts):
+    """bool[B]: True only where the partition CERTAINLY takes the raw
+    fallback.
+
+    The fallback rule is exact arithmetic on per-chunk blob sizes
+    (reference src/CascadedKernels.hiph:862-870): a partition falls back
+    iff the summed chunk totals exceed roundUp4(input_bytes) (for w <= 4
+    every blob end equals the running total, so the reference's
+    incremental check reduces to the sum).  For *pure* chunks -- no two
+    adjacent equal elements, the norm on incompressible data -- every
+    stage size is an elementwise formula: RLE counts are all 1 (bitpack
+    collapses to its 8-byte header) and the delta stage's value multiset
+    equals the elementwise adjacent differences, so frame/bitwidth
+    reductions need no compaction.  Impure chunks get a weak lower bound;
+    under-estimates only cost fast-path coverage, never correctness
+    (false fallbacks are impossible, verified by
+    tests/test_cascaded.py::test_routing_flags_never_false_positive).
+    """
+    w = width_of(opts.type)
+    e = opts.chunk_num_elements
+    nr, nd = opts.num_rles, opts.num_deltas
+    b, c = data.shape
+    k = max(1, -(-c // opts.chunk_size))
+    n_el = (lengths // w).astype(jnp.int32)
+
+    if nr == 0 and nd == 0 and not opts.use_bp:
+        return jnp.ones((b,), jnp.bool_)
+
+    meta = chunk_metadata_size(opts)
+    pad = k * e * w - c
+    padded = jnp.pad(data, ((0, 0), (0, pad))) if pad else data
+    x = bits.bitcast(
+        bits.bytes_to_units_le(padded, w), bits.signed_of_width(w)
+    ).astype(jnp.int32).reshape(b, k, e)
+    ki = jnp.arange(k, dtype=jnp.int32)[None, :]
+    n = jnp.clip(n_el[:, None] - ki * e, 0, e)  # [b, k] chunk element counts
+
+    def diffs(cur, cnt):
+        d = _sext32(cur[..., 1:] - cur[..., :-1], 8 * w)
+        cnt = jnp.maximum(cnt - 1, 0)
+        idx = jnp.arange(d.shape[-1], dtype=jnp.int32)
+        return jnp.where(idx < cnt[..., None], d, 0), cnt
+
+    if nr == 0:
+        # pure delta chain: exact for every chunk
+        cur, cnt = x, n
+        for _ in range(nd):
+            cur, cnt = diffs(cur, cnt)
+        idx = jnp.arange(cur.shape[-1], dtype=jnp.int32)
+        f = _bitpack_size(cnt, cur, idx < cnt[..., None], w)
+        t_lb = meta + round_up_to_dyn(f, 4)
+    else:
+        i = jnp.arange(e - 1, dtype=jnp.int32)
+        neq = (x[:, :, 1:] != x[:, :, :-1]) & (i < (n[..., None] - 1))
+        r0 = jnp.where(n > 0, 1 + neq.sum(-1), 0)
+        pure = (r0 == n) & (n > 0)
+        if nd == 0:
+            # [rle] or [rle, rle]: pure => vals are x itself (runs all 1)
+            idx = jnp.arange(e, dtype=jnp.int32)
+            f = _bitpack_size(n, x, idx < n[..., None], w)
+        else:
+            # [rle, delta] or [rle, delta, rle]: pure => deltas are the
+            # elementwise diffs; for nr == 2 the final count is the run
+            # count of the diff stream and its value range equals the
+            # diff range (every diff belongs to a run of its own value)
+            d, n_d = diffs(x, n)
+            if nr == 1:
+                idx = jnp.arange(e - 1, dtype=jnp.int32)
+                f = _bitpack_size(n_d, d, idx < n_d[..., None], w)
+            else:
+                i2 = jnp.arange(e - 2, dtype=jnp.int32)
+                neq2 = (d[:, :, 1:] != d[:, :, :-1]) & (i2 < (n_d[..., None] - 1))
+                r1 = jnp.where(n_d > 0, 1 + neq2.sum(-1), 0)
+                idx = jnp.arange(e - 1, dtype=jnp.int32)
+                big = jnp.int32(2**31 - 1)
+                valid = idx < n_d[..., None]
+                mn = jnp.min(jnp.where(valid, d, big), axis=-1)
+                mx = jnp.max(jnp.where(valid, d, -big - 1), axis=-1)
+                rng = bits.bitcast(mx, jnp.uint32) - bits.bitcast(mn, jnp.uint32)
+                bw1 = jnp.where(r1 > 0, bits.bit_width(rng), 0)
+                f = 8 + 4 * ((r1 * bw1 + 31) >> 5)
+        # counts blobs: 8 bytes each exactly when pure (all-1 counts pack at
+        # bitwidth 0); later-layer counts lower-bounded at their header
+        t_pure = meta + 8 * nr + round_up_to_dyn(f, 4)
+        t_lb = jnp.where(pure, t_pure, meta + 8 * (nr + 1))
+
+    t_lb = jnp.where(n > 0, t_lb, 0)
+    input_bytes = n_el * w
+    return t_lb.sum(-1) > round_up_to_dyn(input_bytes, 4)
+
+
 def compress(data, lengths, opts: CascadedOpts):
     """Batched cascaded compression.
 
@@ -545,7 +692,12 @@ def compress(data, lengths, opts: CascadedOpts):
     width are truncated (reference behavior, src/CascadedKernels.hiph:846).
 
     Routes to the fused Pallas TPU kernel (tpucomp/kernels/cascaded_pallas.py)
-    when enabled and supported; both paths emit identical bytes.
+    when enabled and supported; both paths emit identical bytes.  On the
+    Pallas path, partitions the _fallback_certain classifier proves will
+    take the raw fallback skip the whole pipeline inside the kernel (a
+    per-cell cond on a prefetched flag -- a single launch keeps the grid's
+    cross-cell overlap, which a block-level dispatch split measurably
+    destroys: 3.5 -> 1.5 GB/s on the mixed corpus).
     """
     opts.validate()
     from tpucomp import config as _cfg
@@ -572,7 +724,12 @@ def decompress(comp, comp_sizes, opts: CascadedOpts, out_capacity: int):
     int32[B]).  Partitions whose stream metadata does not match ``opts``
     (other than the raw fallback) report ERROR_CANNOT_DECOMPRESS.
 
-    Routes to the fused Pallas TPU kernel when enabled and supported.
+    Routes to the fused Pallas TPU kernel when enabled and supported.  (A
+    decode-side fast-path router was built and measured in round 5 and
+    REMOVED: the kernel already conds off the inverse pipeline for
+    fallback partitions, so an all-fallback tile decodes at ~17 GB/s in a
+    single launch, and any block-level dispatch split loses the grid's
+    cross-cell overlap -- 3.4 -> 1.7 GB/s on the mixed corpus.)
     """
     opts.validate()
     from tpucomp import config as _cfg

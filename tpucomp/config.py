@@ -22,6 +22,20 @@ PALLAS_VALIDATED = True
 
 
 
+# Round-5 raw-fallback fast-path routing (codecs/cascaded.py): block-level
+# lax.cond dispatch of certain-fallback partitions around the pipeline.
+#   - None (default): enabled (all paths emit identical bytes; the router
+#     only changes which path computes them)
+#   - True / False: force (False restores single-dispatch, useful for A/B)
+use_fastpath_routing: bool | None = None
+
+
+def routing_enabled() -> bool:
+    if use_fastpath_routing is not None:
+        return use_fastpath_routing
+    return True
+
+
 def pallas_enabled() -> bool:
     if use_pallas_kernels is not None:
         return use_pallas_kernels

@@ -291,7 +291,7 @@ def _schedule_static(nr: int, nd: int):
 # the compress kernel
 
 
-def _encode_kernel(lay: _Layout, len_ref, *refs):
+def _encode_kernel(lay: _Layout, scal_ref, *refs):
     if lay.w == 4:
         elems_ref, out_ref = refs
         words_view = None
@@ -308,7 +308,9 @@ def _encode_kernel(lay: _Layout, len_ref, *refs):
     fi = lanes.flat_iota(shape) % (span * SUB)
     gi = lanes.lane_iota(shape) // span  # chunk index
 
-    length = len_ref[pl.program_id(0)]
+    pid = pl.program_id(0)
+    length = scal_ref[0, pid]
+    certain_fb = scal_ref[1, pid]  # precomputed certain-fallback flag
     n_elems = length // w
     input_bytes = n_elems * w
     chunk_n = jnp.clip(n_elems - gi * e, 0, e)
@@ -317,6 +319,64 @@ def _encode_kernel(lay: _Layout, len_ref, *refs):
 
     if lay.w == 4:
         words_view = x
+
+    # ---- fallback raw body + header + final select (shared epilogue) -----
+    def _emit(packed, use_fallback_i32, total_size):
+        out_l = lay.l_out
+        oshape = (SUB, out_l)
+        ofi = lanes.flat_iota(oshape)
+        iw = words_view[:, : min(words_view.shape[1], out_l)]
+        if out_l > iw.shape[1]:
+            iw = jnp.concatenate(
+                [iw, jnp.zeros((SUB, out_l - iw.shape[1]), jnp.int32)], axis=1
+            )
+        raw = lanes.flat_roll_static(iw, 2, out_l)
+        ub_o = _bcast_all(input_bytes, oshape)
+        fb_o = _bcast_all(use_fallback_i32, oshape) > 0
+        wbytes = jnp.clip(ub_o - (ofi - 2) * 4, 0, 4)
+        bmask = jnp.where(wbytes >= 4, jnp.int32(-1), (jnp.int32(1) << (8 * wbytes)) - 1)
+        raw = jnp.where((ofi >= 2) & (wbytes > 0), raw & bmask, 0)
+
+        body = jnp.where(fb_o, raw, packed[:, :out_l])
+        hdr0 = jnp.where(
+            fb_o,
+            jnp.int32(lay.dtype_code << 24),
+            jnp.int32(nr | (nd << 8) | (int(bp) << 16) | (lay.dtype_code << 24)),
+        )
+        body = jnp.where(ofi == 0, hdr0, jnp.where(ofi == 1, ub_o, body))
+
+        size = jnp.where(use_fallback_i32 > 0, 8 + _rup(input_bytes, 4), total_size)
+        size = jnp.where(length > 0, size, 0)
+        size_o = _bcast_all(size, oshape)
+        body = jnp.where(_bcast_all(jnp.where(length > 0, 1, 0), oshape) > 0, body, 0)
+        li_o = lanes.lane_iota(oshape)
+        si_o = lanes.sublane_iota(oshape)
+        body = jnp.where((li_o == out_l - 1) & (si_o == 0), size_o, body)
+        return body
+
+    # certain-fallback cells skip the whole pipeline + assembly: the flag is
+    # exact-or-conservative (codecs/cascaded.py _fallback_certain), so the
+    # emitted bytes equal the full path's fallback select
+    def _fast_body():
+        zero = jnp.zeros((SUB, lay.l_out), jnp.int32)
+        return _emit(zero, jnp.int32(1), jnp.int32(0))
+
+    def _full_body():
+        return _pipeline_body(
+            lay, x, chunk_n, valid_chunk, input_bytes, length, words_view, _emit
+        )
+
+    out_ref[0] = jax.lax.cond(certain_fb > 0, _fast_body, _full_body).astype(
+        jnp.uint32
+    )
+
+
+def _pipeline_body(lay, x, chunk_n, valid_chunk, input_bytes, length, words_view, emit):
+    span = lay.ec
+    e, w, ebits = lay.e, lay.w, 8 * lay.w
+    nr, nd, bp = lay.nr, lay.nd, lay.bp
+    shape = x.shape
+    fi = lanes.flat_iota(shape) % (span * SUB)
 
     # ---- pipeline: static schedule, all chunks at once -------------------
     cur_x, cur_n = x, chunk_n
@@ -386,7 +446,35 @@ def _encode_kernel(lay: _Layout, len_ref, *refs):
     if nr == 0 and nd == 0 and not bp:
         use_fallback = use_fallback | True
 
-    # ---- global assembly: (payload, target, valid) per source word -------
+    # partitions the pipeline itself proves fallback (the classifier's
+    # misses: partitions with impure chunks) skip the whole assembly --
+    # their packed body would be discarded by the fallback select anyway
+    fb_scalar = jnp.max(oob.astype(jnp.int32)) > 0
+    if nr == 0 and nd == 0 and not bp:
+        fb_scalar = fb_scalar | True
+
+    def _assemble():
+        return _assembly_body(
+            lay, fi, valid_chunk, chunk_off, total, blob_sizes, blob_hdr,
+            blob_words, counts_pos, fpos, fsize, fhdr, fwds, firsts,
+        )
+
+    packed = jax.lax.cond(
+        fb_scalar, lambda: jnp.zeros((SUB, lay.l_out), jnp.int32), _assemble
+    )
+    return emit(packed, use_fallback.astype(jnp.int32), total_size)
+
+
+def _assembly_body(
+    lay, fi, valid_chunk, chunk_off, total, blob_sizes, blob_hdr, blob_words,
+    counts_pos, fpos, fsize, fhdr, fwds, firsts,
+):
+    """Global assembly: (payload, target, valid) per source word, packed by
+    one monotone butterfly; returns the output-resident words [SUB, l_out]."""
+    span = lay.ec
+    w, ebits = lay.w, 8 * lay.w
+    nr, nd, bp = lay.nr, lay.nd, lay.bp
+
     # chunk metadata words live in column 0 of each group (mw <= 32 rows)
     meta_v = jnp.where(fi == 0, total, 0)
     for i, s in enumerate(blob_sizes):
@@ -466,37 +554,7 @@ def _encode_kernel(lay: _Layout, len_ref, *refs):
         max_dist=jnp.max(dist),
     )
     packed = jnp.where(okp, packed, 0)
-
-    # ---- fallback raw body + header + final select -----------------------
-    out_l = lay.l_out
-    oshape = (SUB, out_l)
-    ofi = lanes.flat_iota(oshape)
-    iw = words_view[:, : min(words_view.shape[1], out_l)]
-    if out_l > iw.shape[1]:
-        iw = jnp.concatenate([iw, jnp.zeros((SUB, out_l - iw.shape[1]), jnp.int32)], axis=1)
-    raw = lanes.flat_roll_static(iw, 2, out_l)
-    ub_o = _bcast_all(input_bytes, oshape)
-    fb_o = _bcast_all(use_fallback.astype(jnp.int32), oshape) > 0
-    wbytes = jnp.clip(ub_o - (ofi - 2) * 4, 0, 4)
-    bmask = jnp.where(wbytes >= 4, jnp.int32(-1), (jnp.int32(1) << (8 * wbytes)) - 1)
-    raw = jnp.where((ofi >= 2) & (wbytes > 0), raw & bmask, 0)
-
-    body = jnp.where(fb_o, raw, packed[:, :out_l])
-    hdr0 = jnp.where(
-        fb_o,
-        jnp.int32(lay.dtype_code << 24),
-        jnp.int32(nr | (nd << 8) | (int(bp) << 16) | (lay.dtype_code << 24)),
-    )
-    body = jnp.where(ofi == 0, hdr0, jnp.where(ofi == 1, ub_o, body))
-
-    size = jnp.where(use_fallback, 8 + _rup(input_bytes, 4), total_size)
-    size = jnp.where(length > 0, size, 0)
-    size_o = _bcast_all(size, oshape)
-    body = jnp.where(_bcast_all(jnp.where(length > 0, 1, 0), oshape) > 0, body, 0)
-    li_o = lanes.lane_iota(oshape)
-    si_o = lanes.sublane_iota(oshape)
-    body = jnp.where((li_o == out_l - 1) & (si_o == 0), size_o, body)
-    out_ref[0] = body.astype(jnp.uint32)
+    return _embed_cols(packed, lay.l_out)
 
 
 def _bcast_all(tile_val, target_shape):
@@ -514,18 +572,38 @@ def _bcast_all(tile_val, target_shape):
 # XLA-side wrapper
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "interpret"))
 def compress(data, lengths, opts, interpret: bool = False):
     """Batched fused cascaded compression on the Pallas path.
 
     data: uint8[B, C]; lengths: int32[B].  Returns (comp uint8[B, PMAX],
     comp_sizes int32[B]), bit-identical to codecs/cascaded.py compress.
+
+    Partitions the certain-fallback classifier proves incompressible skip
+    the whole pipeline inside the kernel (per-cell cond on a prefetched
+    flag); the classifier never flags a partition the pipeline would
+    compress, so bytes are unchanged.
     """
+    from tpucomp import config as _cfg
+    from tpucomp.codecs import cascaded as cx
+
+    use_flags = _cfg.routing_enabled() and cx._flags_supported(opts)
+    return _compress_jit(data, lengths, opts, interpret, use_flags)
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "interpret", "use_flags"))
+def _compress_jit(data, lengths, opts, interpret: bool, use_flags: bool):
+    from tpucomp.codecs import cascaded as cx
     from tpucomp.utils import bits
 
     b, c = data.shape
     lay = _Layout(opts, c)
     w = lay.w
+
+    if use_flags:
+        flags = cx._fallback_certain(data, lengths.astype(jnp.int32), opts)
+    else:
+        flags = jnp.zeros((b,), jnp.bool_)
+    scal = jnp.stack([lengths.astype(jnp.int32), flags.astype(jnp.int32)])
 
     total_bytes = lay.k_pad * lay.chunk_size
     if total_bytes > c:
@@ -541,7 +619,7 @@ def compress(data, lengths, opts, interpret: bool = False):
     elems = bits.bitcast(units, sdtype).astype(jnp.int32)
     elems_cm = elems.reshape(b, lay.l_elem, SUB).transpose(0, 2, 1)
 
-    ins = [lengths.astype(jnp.int32), elems_cm]
+    ins = [scal, elems_cm]
     in_specs = [
         pl.BlockSpec((1, SUB, lay.l_elem), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM)
     ]
@@ -1098,12 +1176,13 @@ def _decode_one(lay: _DLayout, gp: int, p: int, size_ref, comp_ref, out_ref, deb
 
       if _cut(8, cur_x):
           return _dummy, _dummy
-      for sk, idx in _inverse_schedule_static(nr, nd):
-          if sk == "rle" and idx not in counts_tiles:
-              ct, _cn = _unpack_blob_tile(
-                  blob_tile(idx), lay.ep, 16, bp, sizes_ep[idx], lay.e
-              )
-              counts_tiles[idx] = ct & jnp.int32(0xFFFF)
+      if debug_cut:  # straight-line: keep the 81 cut's label semantics
+          for sk, idx in _inverse_schedule_static(nr, nd):
+              if sk == "rle" and idx not in counts_tiles:
+                  ct, _cn = _unpack_blob_tile(
+                      blob_tile(idx), lay.ep, 16, bp, sizes_ep[idx], lay.e
+                  )
+                  counts_tiles[idx] = ct & jnp.int32(0xFFFF)
 
       if _cut(81, cur_x):  # counts blobs unpacked, pipeline not yet run
           return _dummy, _dummy
@@ -1119,7 +1198,42 @@ def _decode_one(lay: _DLayout, gp: int, p: int, size_ref, comp_ref, out_ref, deb
               cur_x, cur_n = _delta_decode_tile(cur_x, firsts_ep[idx], cur_n, lay.ep, ebits)
               cur_n = jnp.minimum(cur_n, e)
           else:
-              cur_x, cur_n = _rle_decode_tile(cur_x, front(counts_tiles[idx]), cur_n, lay.ep)
+              blob_t = counts_tiles.pop(idx, None)
+              if blob_t is not None:  # debug straight-line path: pre-unpacked
+                  cur_x, cur_n = _rle_decode_tile(cur_x, front(blob_t), cur_n, lay.ep)
+              else:
+                  raw_t = blob_tile(idx)
+
+                  def _rle_full(args, idx=idx, raw_t=raw_t):
+                      cx, cn = args
+                      ct, _cn2 = _unpack_blob_tile(
+                          raw_t, lay.ep, 16, bp, sizes_ep[idx], lay.e
+                      )
+                      return _rle_decode_tile(
+                          cx, front(ct & jnp.int32(0xFFFF)), cn, lay.ep
+                      )
+
+                  if bp:
+                      # identity skip: a counts blob of all-ones (frame 1,
+                      # bitwidth 0, count == the incoming element count --
+                      # i.e. every run has length 1, the norm for the mixed
+                      # corpus's barely-compressible partitions) expands to
+                      # exactly its input, so the unpack + cumsum + scatter
+                      # + fill apparatus is skipped whole-partition.  The
+                      # blob header words sit at group flat slots 0 (frame)
+                      # and 1 ((bw << 16) | n), so the check is two masked
+                      # compares and one tile reduction -- no seg ops.
+                      bfi_b = lanes.flat_iota(raw_t.shape) % (lay.ep * SUB)
+                      viol = live_ep & (
+                          ((bfi_b == 0) & (raw_t != 1))
+                          | ((bfi_b == 1) & (raw_t != cur_n))
+                      )
+                      ident = jnp.max(viol.astype(jnp.int32)) == 0
+                      cur_x, cur_n = jax.lax.cond(
+                          ident, lambda a: a, _rle_full, (cur_x, cur_n)
+                      )
+                  else:
+                      cur_x, cur_n = _rle_full((cur_x, cur_n))
           if _cut(90 + opi, cur_x):  # after inverse op #opi (schedule order)
               return _dummy, _dummy
 
