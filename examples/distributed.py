@@ -1,6 +1,3 @@
-import sys, os
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 """Data-parallel compression over a device mesh, single- and multi-host.
 
 Chunks are independent (the reference's per-warp chunk model,
@@ -22,6 +19,9 @@ Multi-host: run one process per host with tpucomp.parallel.multihost
 (initialize -> global_mesh -> make_global_batch -> compress_distributed),
 as in tests/test_multihost.py.
 """
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -59,7 +59,10 @@ def main():
         data = np.asarray(out.data)
         for i, ch in enumerate(chunks):
             assert data[i, : len(ch)].tobytes() == ch, f"chunk {i}"
-        ratio = batch.lengths.sum() / max(1, int(np.asarray(comp.lengths).sum()))
+        # pad_batch may have added rows for even sharding: count only the
+        # first len(chunks) rows so the ratio reflects the real payload
+        comp_bytes = int(np.asarray(comp.lengths)[: len(chunks)].sum())
+        ratio = batch.lengths.sum() / max(1, comp_bytes)
         print(f"{name}: {len(chunks)} chunks round-tripped sharded, ratio {ratio:.2f}")
 
 

@@ -40,3 +40,29 @@ sys.path.insert(0, os.path.dirname(__file__))
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# `pytest -m quick`: the fast dev-loop tier (VERDICT r4 task 6).  Curated by
+# module: these cover every public API surface through the XLA paths in a
+# couple of minutes; the excluded modules are the Pallas interpret tiers,
+# fuzz batteries and scaling tests that dominate the full suite's wall time.
+_QUICK_MODULES = {
+    "test_core",
+    "test_ops",
+    "test_batch_api",
+    "test_cascaded",
+    "test_lz4",
+    "test_snappy",
+    "test_highlevel",
+    "test_cli",
+    "test_bench",
+    "test_native",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.nodeid.split("::", 1)[0].rsplit("/", 1)[-1].removesuffix(".py")
+        if mod in _QUICK_MODULES and "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)

@@ -67,6 +67,31 @@ def test_roundtrip_matrix(rng, name, batch_size):
         assert got[i] == p, f"{name} chunk {i}"
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("name", list(CODECS))
+def test_roundtrip_large_batch_1025(rng, name):
+    """Reference matrix's >= 1025 batch row (tests/test_batch_c_api.h:749-775)
+    at a small per-chunk capacity to keep CPU runtime sane."""
+    cap = 512
+    codec = CODECS[name]
+    payloads = []
+    for _ in range(1025):
+        n = int(rng.integers(16, cap + 1)) // 4 * 4
+        payloads.append(
+            np.repeat(rng.integers(0, 20, n), rng.integers(1, 5, n))[:n]
+            .astype(np.uint8)
+            .tobytes()
+        )
+    batch = pack_chunks(payloads, capacity=cap)
+    comp = codec.compress(batch)
+    assert (np.asarray(comp.lengths) <= codec.compress_get_max_output_chunk_size(cap)).all()
+    out, statuses = codec.decompress(comp, cap)
+    assert (np.asarray(statuses) == Status.SUCCESS).all()
+    got = unpack_chunks(out)
+    for i, p in enumerate(payloads):
+        assert got[i] == p, f"{name} chunk {i}"
+
+
 @pytest.mark.parametrize("name", list(CODECS))
 def test_crash_safety_on_garbage(rng, name):
     """reference test_generic_batch_decompression_errors

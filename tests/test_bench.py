@@ -31,6 +31,7 @@ def test_bench_cascaded_roundtrip_smoke():
     assert r["ratio"] > 0.9  # worst case bounded near 1 by the raw fallback
 
 
+@pytest.mark.slow
 def test_bench_lz_roundtrip_smoke():
     r = bench.bench_lz("lz4", total_mb=1, iters=1, tile=8)
     assert r["roundtrip_ok"] is True

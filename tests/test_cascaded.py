@@ -221,3 +221,19 @@ def test_detect_opts_roundtrip(rng):
     out, olens, stats = cc.decompress(jnp.asarray(comp), jnp.asarray(sizes), detected, x.nbytes)
     assert np.asarray(stats)[0] == Status.SUCCESS
     assert np.asarray(out)[0, : np.asarray(olens)[0]].tobytes() == x.tobytes()
+
+
+def test_longlong_requires_x64_loudly():
+    """8-byte element types must fail fast at compress()/decompress() when
+    x64 mode is off (VERDICT r4 task 7): without it JAX silently downcasts
+    uint64 and the artifact would be corrupt."""
+    import jax
+
+    opts = CascadedOpts(type=DataType.LONGLONG)
+    data = jnp.zeros((2, 64), jnp.uint8)
+    lens = jnp.full((2,), 64, jnp.int32)
+    with jax.enable_x64(False):
+        with pytest.raises(ValueError, match="64-bit"):
+            cc.compress(data, lens, opts)
+        with pytest.raises(ValueError, match="64-bit"):
+            cc.decompress(data, lens, opts, 64)

@@ -154,3 +154,53 @@ def test_header_golden_bytes():
     assert raw == golden
     back = hdr.CommonHeader.unpack(raw)
     assert back == h
+
+
+def test_wide_placement_bit_identical(rng):
+    """The int64 ("wide", >= 1 GiB artifacts) assembly path must produce
+    the exact bytes of the int32 path -- verified at small scale by forcing
+    wide=True (the magnitude changes only index dtypes, not logic)."""
+    from tpucomp.highlevel.manager import _assemble_artifact, LZ4Manager
+
+    m = LZ4Manager(1024)
+    data = np.repeat(rng.integers(0, 30, 6000), 2)[:6000].astype(np.uint8)
+    # reproduce Manager.compress up to assembly, then A/B the wide flag
+    n = data.size
+    cfg = m.configure_compression(n)
+    k, cs = cfg.num_chunks, m.uncomp_chunk_size
+    padded = jnp.zeros((k * cs,), jnp.uint8).at[:n].set(jnp.asarray(data))
+    lengths = jnp.clip(n - jnp.arange(k, dtype=jnp.int32) * cs, 0, cs).astype(jnp.int32)
+    comp, sizes = m._codec_compress(padded.reshape(k, cs), lengths)
+    common = hdr.CommonHeader(
+        format=m.format_id, comp_data_size=0, decomp_data_size=n, num_chunks=k,
+        uncomp_chunk_size=cs, comp_data_offset=hdr.data_region_offset(m.format_id, k),
+    )
+    head = bytearray(common.pack())
+    head += hdr.pack_format_spec(m.format_id, m.opts)
+    head += b"\x00" * (hdr.sections_offset(m.format_id) - len(head))
+    static_head = jnp.asarray(np.frombuffer(bytes(head), np.uint8))
+    kw = dict(data_off=common.comp_data_offset,
+              sections_off=hdr.sections_offset(m.format_id),
+              out_max=cfg.max_compressed_buffer_size)
+    a32, s32 = _assemble_artifact(comp, sizes, static_head, wide=False, **kw)
+    a64, s64 = _assemble_artifact(comp, sizes, static_head, wide=True, **kw)
+    assert int(s32) == int(s64)
+    assert (np.asarray(a32) == np.asarray(a64)).all()
+
+
+def test_wide_artifact_requires_x64():
+    """>= 1 GiB artifact bounds demand x64 placement with a clear error
+    when it is off (VERDICT r4 task 8; reference u64 tables are uncapped)."""
+    import jax
+    from tpucomp.highlevel.manager import LZ4Manager
+
+    m = LZ4Manager(64 * 1024)
+    with jax.enable_x64(False):
+        with pytest.raises(ValueError, match="64-bit placement"):
+            # 1.1 GiB logical size via a zero-stride view:
+            # configure_compression math only -- the raise fires before any
+            # buffer of that size is materialized
+            big = np.lib.stride_tricks.as_strided(
+                np.zeros(1, np.uint8), shape=(1_200_000_000,), strides=(0,)
+            )
+            m.compress(big)

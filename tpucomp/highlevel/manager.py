@@ -95,19 +95,23 @@ class Manager:
         """
         if isinstance(data, (bytes, bytearray)):
             data = np.frombuffer(data, np.uint8)
-        data = jnp.asarray(data, jnp.uint8).reshape(-1)
-        n = int(data.shape[0])
+        n = int(np.prod(data.shape)) if hasattr(data, "shape") else len(data)
         cfg = self.configure_compression(n)
         cs = self.uncomp_chunk_size
         k = cfg.num_chunks
 
-        if cfg.max_compressed_buffer_size >= 2**31:
-            # int32 placement indices would silently wrap (the header format
-            # itself is u64; large-buffer support needs x64 placement)
+        # int32 placement (and its 2^30 sort sentinel) covers artifacts
+        # under 1 GiB; larger ones switch to int64 placement, which needs
+        # x64 mode (the header format itself is u64 and uncapped, matching
+        # the reference's u64 tables, src/highlevel/BatchManager.hpp:212-236)
+        wide = cfg.max_compressed_buffer_size >= 2**30
+        if wide and not jax.config.jax_enable_x64:
             raise ValueError(
                 f"compressed buffer bound {cfg.max_compressed_buffer_size} "
-                "exceeds the 2 GiB artifact limit; split the input"
+                "needs 64-bit placement for >= 1 GiB artifacts: set "
+                "jax.config.update('jax_enable_x64', True) (or split the input)"
             )
+        data = jnp.asarray(data, jnp.uint8).reshape(-1)
         padded = jnp.zeros((k * cs,), jnp.uint8).at[:n].set(data)
         chunks = padded.reshape(k, cs)
         lengths = jnp.clip(
@@ -138,6 +142,7 @@ class Manager:
             data_off=common.comp_data_offset,
             sections_off=hdr.sections_offset(self.format_id),
             out_max=cfg.max_compressed_buffer_size,
+            wide=wide,
         )
         return artifact, total_size
 
@@ -159,10 +164,18 @@ class Manager:
         data_off = common.comp_data_offset
 
         max_chunk = self._max_comp_chunk_size(cs)
-        # slice each chunk's stream out of the packed region (one gather)
-        t = jnp.arange(max_chunk, dtype=jnp.int32)
-        src = data_off + jnp.asarray(offsets, jnp.int32)[:, None] + t[None, :]
-        take = t[None, :] < jnp.asarray(sizes, jnp.int32)[:, None]
+        # slice each chunk's stream out of the packed region (one gather);
+        # int64 offsets once the packed region can pass the int32 range
+        wide = int(offsets.max(initial=0)) + data_off + max_chunk >= 2**30
+        idt = jnp.int64 if wide else jnp.int32
+        if wide and not jax.config.jax_enable_x64:
+            raise ValueError(
+                ">= 1 GiB artifact needs 64-bit mode to decompress: set "
+                "jax.config.update('jax_enable_x64', True)"
+            )
+        t = jnp.arange(max_chunk, dtype=idt)
+        src = data_off + jnp.asarray(offsets, idt)[:, None] + t[None, :]
+        take = t[None, :] < jnp.asarray(sizes, idt)[:, None]
         flat = artifact
         rows = jnp.where(
             take, flat[jnp.clip(src, 0, flat.shape[0] - 1)], 0
@@ -246,8 +259,10 @@ class CascadedManager(Manager):
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("data_off", "sections_off", "out_max"))
-def _assemble_artifact(comp, sizes, static_head, *, data_off, sections_off, out_max):
+@partial(jax.jit, static_argnames=("data_off", "sections_off", "out_max", "wide"))
+def _assemble_artifact(
+    comp, sizes, static_head, *, data_off, sections_off, out_max, wide=False
+):
     """Assemble the self-describing artifact entirely on device.
 
     Writes comp_data_size into the CommonHeader (offset 8, u64 LE), the
@@ -256,19 +271,28 @@ def _assemble_artifact(comp, sizes, static_head, *, data_off, sections_off, out_
     mirroring the reference's device-side header fill
     (src/hipcomp_common_deps/hlif_shared.hiph:113-130) without the host
     sync the round-1 implementation had.
+
+    ``wide`` switches placement indices and table math to int64 (requires
+    x64 mode) so artifacts past the int32 sort-sentinel bound (>= 1 GiB)
+    assemble correctly — the reference's u64 offset tables have no cap
+    (src/highlevel/BatchManager.hpp:212-236).
     """
     k, s_max = comp.shape
-    sizes = sizes.astype(jnp.int32)
+    idt = jnp.int64 if wide else jnp.int32
+    sizes = sizes.astype(idt)
     inc = jnp.cumsum(sizes)
     offsets = inc - sizes
     comp_data_size = inc[-1]
 
-    def u64le(v):  # int32[k] -> uint8[k,8] little-endian (values < 2^31)
-        v = v.astype(jnp.uint32)
+    def u64le(v):  # int[k] -> uint8[k,8] little-endian
+        v = v.astype(jnp.uint64 if wide else jnp.uint32)
+        n_b = 8 if wide else 4
         lo = jnp.stack(
-            [((v >> jnp.uint32(8 * i)) & jnp.uint32(0xFF)).astype(jnp.uint8) for i in range(4)],
+            [((v >> v.dtype.type(8 * i)) & v.dtype.type(0xFF)).astype(jnp.uint8) for i in range(n_b)],
             axis=-1,
         )
+        if n_b == 8:
+            return lo
         return jnp.concatenate([lo, jnp.zeros(v.shape + (4,), jnp.uint8)], axis=-1)
 
     head = jnp.zeros((data_off,), jnp.uint8)
@@ -279,8 +303,8 @@ def _assemble_artifact(comp, sizes, static_head, *, data_off, sections_off, out_
     # per-chunk checksum sections (u32 x k x 2) stay reserved-zero
 
     # gapless deterministic payload packing via scatter-by-sort
-    tgts = offsets[:, None] + jnp.arange(s_max, dtype=jnp.int32)[None, :]
-    oks = jnp.arange(s_max, dtype=jnp.int32)[None, :] < sizes[:, None]
+    tgts = offsets[:, None] + jnp.arange(s_max, dtype=idt)[None, :]
+    oks = jnp.arange(s_max, dtype=idt)[None, :] < sizes[:, None]
     payload_max = out_max - data_off
     vals = comp.reshape(-1)
     tgts = tgts.reshape(-1)
@@ -288,7 +312,7 @@ def _assemble_artifact(comp, sizes, static_head, *, data_off, sections_off, out_
     if vals.shape[0] < payload_max:
         pad = payload_max - vals.shape[0]
         vals = jnp.concatenate([vals, jnp.zeros((pad,), jnp.uint8)])
-        tgts = jnp.concatenate([tgts, jnp.zeros((pad,), jnp.int32)])
+        tgts = jnp.concatenate([tgts, jnp.zeros((pad,), idt)])
         oks = jnp.concatenate([oks, jnp.zeros((pad,), jnp.bool_)])
     payload = permute.place(vals, tgts, oks, payload_max)
 

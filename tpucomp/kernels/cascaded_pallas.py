@@ -1289,13 +1289,18 @@ def _decode_one(lay: _DLayout, gp: int, p: int, size_ref, comp_ref, out_ref, deb
       return outx, ok_pipe.astype(jnp.int32)
 
     if debug_cut:
+        # non-firing cut ids (e.g. 90+opi past the schedule) would otherwise
+        # leave out_ref uninitialized: store defined zeros up front so any
+        # debug_cut caller gets deterministic output (ADVICE r4); a firing
+        # _cut simply overwrites this.
+        _store(_embed_cols(_dummy, lay.l_out))
         outx, ok_pipe_i = _phases()
         # every cut id other than the pre-phase header cut (1) and the
         # fallback cut (11) names a stage inside _phases, including the
         # schedule-dependent 90+opi ids -- return so the debug tile _cut
         # stored is not overwritten by the normal select/store path.
         # (A cut id that never fires for the current schedule stores
-        # nothing and times the full pipeline; casc_dec_stage_bench.py
+        # zeros and times the full pipeline; casc_dec_stage_bench.py
         # filters its cut list against the schedule.)
         if debug_cut not in (1, 11):
             return

@@ -113,9 +113,10 @@ def seg_cumsum(x, span: int, *, exclusive: bool = False, max_active=None):
     Two-level Hillis-Steele: sublane scan within columns, lane scan of
     column totals within each ``span``-lane group, then combine.
 
-    ``max_active``: optional traced scalar upper bound on the number of
-    occupied leading flat slots per group (occupied means: slots whose
-    cumsum value a consumer will read AND slots holding nonzero input).
+    ``max_active``: optional traced scalar that must upper-bound BOTH the
+    highest flat slot any consumer reads the cumsum at and the highest
+    flat slot holding nonzero input, per group (the union of the two
+    requirements; under-bounding either silently corrupts prefix sums).
     Lane-scan stages that only propagate into columns past the last
     occupied one are skipped at run time (a lax.cond per stage).  Values
     at flat slots >= max_active are then garbage-partial -- callers must

@@ -37,14 +37,16 @@ def free_port() -> int:
 
     Hardcoded ports collide with lingering workers from a previous run
     (ADVICE r3); binding port 0 on a throwaway socket asks the OS for a
-    currently-free one.  (Inherent TOCTOU: the port can be reclaimed
-    between here and the coordinator's bind -- callers that retry should
-    call this again for each attempt.)
+    currently-free one.  Probes on all interfaces ("") so the port is free
+    on whatever interface the coordinator binds, not just loopback
+    (ADVICE r4).  (Inherent TOCTOU: the port can be reclaimed between here
+    and the coordinator's bind -- callers that retry should call this
+    again for each attempt.)
     """
     import socket
 
     with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
+        s.bind(("", 0))
         return s.getsockname()[1]
 
 

@@ -80,8 +80,14 @@ def place(values, targets, valid, out_size: int):
     entries); positions >= total read 0.  len(values) must be >= out_size.
 
     One stable (key, value) sort -- the TPU replacement for scatter.
+    Passing int64 ``targets`` (requires x64 mode) selects a wide sort key
+    whose invalid-sentinel sits above any 63-bit target -- needed once
+    outputs can exceed the 2^30 int32 sentinel (>= 1 GiB artifacts).
     """
-    key = jnp.where(valid, targets.astype(jnp.int32), BIG)
+    if targets.dtype == jnp.int64:
+        key = jnp.where(valid, targets, _np.int64(2**62))
+    else:
+        key = jnp.where(valid, targets.astype(jnp.int32), BIG)
     val = jnp.where(valid, values, 0).astype(values.dtype)
     _, out = jax.lax.sort((key, val), num_keys=1, is_stable=True)
     return out[:out_size]
