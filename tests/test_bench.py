@@ -10,6 +10,8 @@ on the CPU backend are meaningless and not asserted.
 import sys
 from pathlib import Path
 
+import pytest
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import bench
