@@ -755,9 +755,13 @@ def _field_tile16(h, bi0, b0, b_last, flen, b1=None):
 
 
 def _lz4_encode_kernel(
-    rd: int, rt: int, ro: int, r_res: int, K: int,
-    size_ref, wv_ref, nmp_ref, dist_ref, out_ref
+    rd: int, rt: int, ro: int, r_res: int, K: int, merged: bool,
+    size_ref, wv_ref, nmp_ref, *rest
 ):
+    # merged: nmp_ref packs (position << 16) | distance per entry (one table,
+    # one dependent extract per sequence); else the classic two-table form
+    dist_ref = None if merged else rest[0]
+    out_ref = rest[-1]
     """K chunks encode per grid cell through one branch-free interleaved
     loop (same design rules as _lz4_decode_kernel v3).
 
@@ -796,10 +800,17 @@ def _lz4_encode_kernel(
                 ~ext_on & (hdr_rem == 0) & (lit_rem == 0) & (tail_rem == 0)
                 & ~done
             )
-            q2 = tbl_at(nmp_ref, p)
-            fin = q2 >= jnp.minimum(_SENT, n - 12)
-            q2c = jnp.where(fin, n, q2)
-            off2 = jnp.where(fin, 1, tbl_at(dist_ref, q2c))
+            if merged:
+                v = tbl_at(nmp_ref, p)
+                q2 = (v >> 16) & 0xFFFF
+                fin = q2 >= jnp.minimum(_SENT, n - 12)
+                q2c = jnp.where(fin, n, q2)
+                off2 = jnp.where(fin, 1, v & 0xFFFF)
+            else:
+                q2 = tbl_at(nmp_ref, p)
+                fin = q2 >= jnp.minimum(_SENT, n - 12)
+                q2c = jnp.where(fin, n, q2)
+                off2 = jnp.where(fin, 1, tbl_at(dist_ref, q2c))
             lf = n - p  # final tail literal run [p, n)
             q = jnp.where(idle, q2c, q)
             off = jnp.where(idle, off2, off)
@@ -938,12 +949,28 @@ def compress(data, lengths, stride: int = 1, interpret: bool = False,
     rd = _rup(_cdiv(c, ROWB), 8)
     rw = LEAD + rd + 32  # window-read slack: reads reach r0 + 32 <= rw
 
-    # exact nearest-previous-occurrence candidate tables (XLA sorts)
+    # exact nearest-previous-occurrence candidate tables (XLA sorts).
+    # When chunk positions fit 16 bits the candidate's (position, distance)
+    # pair packs into ONE u32 entry ((pos << 16) | dist; pos-major order
+    # keeps a plain unsigned cummin correct, sentinel 0xFFFFFFFF): the
+    # kernel's parse then needs a single dependent table extract per
+    # sequence instead of two -- worth ~15% of encode, which the round-5
+    # drain/parse battery showed is PARSE-chain-bound (PERF.md).
+    merged = c <= 65536
+
     def tables(d, nn):
         i = jnp.arange(c, dtype=jnp.int32)
         j = lz77.nearest_prev_occurrence(d, nn, stride)
         dist = i - j
         cand = (j >= 0) & (dist <= 65535) & (i <= nn - 13)
+        if merged:
+            packed = jnp.where(
+                cand,
+                (i.astype(jnp.uint32) << 16) | dist.astype(jnp.uint32),
+                jnp.uint32(0xFFFFFFFF),
+            )
+            nm = jax.lax.cummin(packed, axis=0, reverse=True)
+            return jax.lax.bitcast_convert_type(nm, jnp.int32), dist
         nmp = jax.lax.cummin(
             jnp.where(cand, i, jnp.int32(_SENT)), axis=0, reverse=True
         )
@@ -960,33 +987,34 @@ def compress(data, lengths, stride: int = 1, interpret: bool = False,
             t = jnp.concatenate([t, jnp.full((bp, padn), fill, jnp.int32)], axis=1)
         return t.reshape(bp, rt, ROWW)
 
-    nmp_t = pad_tbl(nmp, _SENT)
-    dist_t = pad_tbl(dist, 1)
+    nmp_t = pad_tbl(nmp, -1 if merged else _SENT)
+    dist_t = None if merged else pad_tbl(dist, 1)
 
     padd = rw * ROWB - c - LEAD * ROWB
     lead = jnp.zeros((bp, LEAD * ROWB), jnp.uint8)
     dd = jnp.concatenate([lead, data, jnp.zeros((bp, padd), jnp.uint8)], axis=1)
     wv = bits.bytes_to_units_le(dd, 4).astype(jnp.int32).reshape(bp, rw, ROWW)
 
+    tbl_spec = pl.BlockSpec((K, rt, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bp // K,),
         in_specs=[
             pl.BlockSpec((K, rw, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, rt, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, rt, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        ]
+        + [tbl_spec] * (1 if merged else 2),
         out_specs=pl.BlockSpec(
             (K, rto, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
         ),
     )
+    ins = [lengths, wv, nmp_t] + ([] if merged else [dist_t])
     out = pl.pallas_call(
-        functools.partial(_lz4_encode_kernel, rd, rt, ro, r_res, K),
+        functools.partial(_lz4_encode_kernel, rd, rt, ro, r_res, K, merged),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bp, rto, ROWW), jnp.uint32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
-    )(lengths, wv, nmp_t, dist_t)
+    )(*ins)
 
     out = out[:b]
     sizes = out[:, r_res, 0].astype(jnp.int32)
