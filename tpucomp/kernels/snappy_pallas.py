@@ -358,9 +358,13 @@ def _snp_tail_tile(h, bi0, off, n68, has60, m2, fin1):
 
 
 def _snappy_encode_kernel(
-    rd: int, rt: int, ro: int, r_res: int, K: int,
-    size_ref, wv_ref, nmp_ref, dist_ref, out_ref
+    rd: int, rt: int, ro: int, r_res: int, K: int, merged: bool,
+    size_ref, wv_ref, nmp_ref, *rest
 ):
+    # merged: nmp_ref packs (position << 16) | distance (one dependent
+    # table extract per sequence; see lz_pallas for the measured rationale)
+    dist_ref = None if merged else rest[0]
+    out_ref = rest[-1]
     """K chunks encode per grid cell through one branch-free interleaved
     loop -- the snappy twin of lz_pallas._lz4_encode_kernel (see its
     docstring for the design rules).  Differences: snappy has no end
@@ -419,10 +423,17 @@ def _snappy_encode_kernel(
                 ~ext_on & (hdr_rem == 0) & (lit_rem == 0) & (tail_rem == 0)
                 & ~done
             )
-            q2 = tbl_at(nmp_ref, p)
-            fin = q2 >= jnp.minimum(_SENT, n - 3)
-            q2c = jnp.where(fin, n, q2)
-            off2 = jnp.where(fin, 1, tbl_at(dist_ref, q2c))
+            if merged:
+                v = tbl_at(nmp_ref, p)
+                q2 = (v >> 16) & 0xFFFF
+                fin = q2 >= jnp.minimum(_SENT, n - 3)
+                q2c = jnp.where(fin, n, q2)
+                off2 = jnp.where(fin, 1, v & 0xFFFF)
+            else:
+                q2 = tbl_at(nmp_ref, p)
+                fin = q2 >= jnp.minimum(_SENT, n - 3)
+                q2c = jnp.where(fin, n, q2)
+                off2 = jnp.where(fin, 1, tbl_at(dist_ref, q2c))
             lf = n - p  # final tail literal run [p, n)
             q = jnp.where(idle, q2c, q)
             off = jnp.where(idle, off2, off)
@@ -572,12 +583,24 @@ def compress(data, lengths, interpret: bool = False, kpack: int = 4):
     rd = _rup(_cdiv(c, ROWB), 8)
     rw = LEAD + rd + 32
 
-    # exact nearest-previous-occurrence candidate tables, snappy window
+    # exact nearest-previous-occurrence candidate tables, snappy window.
+    # Positions <= 64 KB pack (pos << 16) | dist into one u32 entry (the
+    # lz_pallas merged-table parse trim; dist <= 32768 fits 16 bits).
+    merged = c <= 65536
+
     def tables(d, nn):
         i = jnp.arange(c, dtype=jnp.int32)
         j = lz77.nearest_prev_occurrence(d, nn, 1)
         dist = i - j
         cand = (j >= 0) & (dist <= 32768) & (i <= nn - 4)
+        if merged:
+            packed = jnp.where(
+                cand,
+                (i.astype(jnp.uint32) << 16) | dist.astype(jnp.uint32),
+                jnp.uint32(0xFFFFFFFF),
+            )
+            nm = jax.lax.cummin(packed, axis=0, reverse=True)
+            return jax.lax.bitcast_convert_type(nm, jnp.int32), dist
         nmp = jax.lax.cummin(
             jnp.where(cand, i, jnp.int32(_SENT)), axis=0, reverse=True
         )
@@ -594,33 +617,34 @@ def compress(data, lengths, interpret: bool = False, kpack: int = 4):
             t = jnp.concatenate([t, jnp.full((bp, padn), fill, jnp.int32)], axis=1)
         return t.reshape(bp, rt, ROWW)
 
-    nmp_t = pad_tbl(nmp, _SENT)
-    dist_t = pad_tbl(dist, 1)
+    nmp_t = pad_tbl(nmp, -1 if merged else _SENT)
+    dist_t = None if merged else pad_tbl(dist, 1)
 
     padd = rw * ROWB - c - LEAD * ROWB
     lead = jnp.zeros((bp, LEAD * ROWB), jnp.uint8)
     dd = jnp.concatenate([lead, data, jnp.zeros((bp, padd), jnp.uint8)], axis=1)
     wv = bits.bytes_to_units_le(dd, 4).astype(jnp.int32).reshape(bp, rw, ROWW)
 
+    tbl_spec = pl.BlockSpec((K, rt, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bp // K,),
         in_specs=[
             pl.BlockSpec((K, rw, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, rt, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, rt, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        ]
+        + [tbl_spec] * (1 if merged else 2),
         out_specs=pl.BlockSpec(
             (K, rto, ROWW), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
         ),
     )
+    ins = [lengths, wv, nmp_t] + ([] if merged else [dist_t])
     out = pl.pallas_call(
-        functools.partial(_snappy_encode_kernel, rd, rt, ro, r_res, K),
+        functools.partial(_snappy_encode_kernel, rd, rt, ro, r_res, K, merged),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bp, rto, ROWW), jnp.uint32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
-    )(lengths, wv, nmp_t, dist_t)
+    )(*ins)
 
     out = out[:b]
     sizes = out[:, r_res, 0].astype(jnp.int32)
