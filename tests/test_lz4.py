@@ -284,3 +284,28 @@ def test_large_chunk_64k(rng):
     out, lens, stats = lz4.decompress(jnp.asarray(comp), jnp.asarray(sizes), out_capacity=c)
     assert np.asarray(stats)[0] == Status.SUCCESS
     assert np.asarray(out)[0, : np.asarray(lens)[0]].tobytes() == a.tobytes()
+
+
+def test_merged_table_boundary_matches():
+    """The packed (pos << 16) | dist candidate entries must stay exact when
+    the position's high bit sets the packed sign bit (pos >= 32768) and at
+    the distance cap (65535) -- regression for the round-5 merged-table
+    parse (kernels/lz_pallas.py)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from oracles.lz4_oracle import lz4_compress_oracle
+    from tpucomp.kernels import lz_pallas
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(1, 255, 65536, dtype=np.uint8)
+    # far match near the distance cap, at the highest encodable positions
+    # (candidates require i <= n-13, so 65500 with distance 65500 is the
+    # deepest sign-bit-range case the format admits here)
+    base[65500 : 65500 + 16] = base[0:16]
+    # a second match entirely in the sign-bit position range
+    base[40000:40032] = base[35000:35032]
+    data = jnp.asarray(base[None, :])
+    lens = jnp.full((1,), 65536, jnp.int32)
+    comp, sizes = lz_pallas.compress(data, lens, interpret=True)
+    got = np.asarray(comp)[0, : int(np.asarray(sizes)[0])].tobytes()
+    assert got == lz4_compress_oracle(base.tobytes())

@@ -1,16 +1,16 @@
-"""Raw-fallback fast-path routing tests (codecs/cascaded.py round 5).
+"""Raw-fallback encode fast-path tests (round 5).
 
-The router must be invisible: identical bytes/sizes/statuses whether a
-block dispatches through the dense raw emit/copy or the full pipeline.
-Safety hinges on the certain-fallback classifier never producing a false
-positive (a partition flagged fallback that the pipeline would compress).
+The fast path must be invisible: identical bytes/sizes whether a kernel
+cell takes the certain-fallback raw emit or the full pipeline.  Safety
+hinges on the classifier (codecs/cascaded.py _fallback_certain) never
+producing a false positive -- a partition flagged fallback that the
+pipeline would actually compress would change emitted bytes.
 """
 
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from tpucomp import config
 from tpucomp.codecs import cascaded as cc
 from tpucomp.core.options import CascadedOpts
 from tpucomp.core.types import DataType
@@ -118,3 +118,36 @@ def test_routed_roundtrip_mixed_batch(rng):
     assert (np.asarray(stats) == 0).all()
     assert (np.asarray(olens) == c).all()
     assert (np.asarray(out) == data).all()
+
+
+def test_decode_identity_skip_bit_identical(rng):
+    """Pallas decode (interpret) must match the XLA path exactly on
+    pure-pipe partitions (where the r5 all-ones-counts identity skip
+    fires), on runs data (where it must NOT fire), and on corrupt
+    variants that straddle the detection condition."""
+    from tpucomp.kernels import cascaded_pallas as cp
+
+    opts = CascadedOpts(chunk_size=1024)
+    b, c = 10, 8192
+    n = c // 4
+    # pure-pipe: noisy ramp compressible via delta+bitpack, no runs
+    ramp = (
+        np.cumsum(rng.integers(-2, 3, (b, n)), axis=1) * 64
+        + rng.integers(0, 64, (b, n))
+    ).astype(np.int32)
+    runs = (
+        np.repeat(rng.integers(0, 50, (b, n // 8)), 8, axis=1).astype(np.int32)
+    )
+    lj = jnp.full((b,), c, jnp.int32)
+    for data in (ramp.view(np.uint8), runs.view(np.uint8)):
+        comp, sizes = cc._compress_xla(jnp.asarray(data), lj, opts)
+        comp = np.asarray(comp).copy()
+        sizes = np.asarray(sizes).copy()
+        assert (comp[:, :3].sum(-1) != 0).all()  # all pipeline-encoded
+        comp[1, 40] ^= 0xA5  # corrupt a blob byte
+        sizes[2] = 16        # truncate
+        cj, sj = jnp.asarray(comp), jnp.asarray(sizes)
+        o_xla = cc._decompress_xla(cj, sj, opts, c)
+        o_pl = cp.decompress(cj, sj, opts, c, interpret=True)
+        for name, a, bb in zip(("data", "len", "status"), o_xla, o_pl):
+            assert (np.asarray(a) == np.asarray(bb)).all(), name

@@ -168,3 +168,22 @@ def test_variable_chunk_sizes(rng):
         for n in [100, 4096, 1, 2000, 333, 4095]
     ]
     _roundtrip(arrays)
+
+
+def test_merged_table_boundary_matches():
+    """Snappy twin of the lz4 merged-table boundary regression: positions
+    past 32768 (packed sign bit) and the 32768 distance cap."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from oracles.snappy_oracle import snappy_compress_oracle
+    from tpucomp.kernels import snappy_pallas
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(1, 255, 65536, dtype=np.uint8)
+    base[32768 : 32768 + 24] = base[0:24]       # distance exactly 32768
+    base[50000:50032] = base[45000:45032]       # sign-bit position range
+    data = jnp.asarray(base[None, :])
+    lens = jnp.full((1,), 65536, jnp.int32)
+    comp, sizes = snappy_pallas.compress(data, lens, interpret=True)
+    got = np.asarray(comp)[0, : int(np.asarray(sizes)[0])].tobytes()
+    assert got == snappy_compress_oracle(base.tobytes())

@@ -609,7 +609,7 @@ def _fallback_certain(data, lengths, opts: CascadedOpts):
     reductions need no compaction.  Impure chunks get a weak lower bound;
     under-estimates only cost fast-path coverage, never correctness
     (false fallbacks are impossible, verified by
-    tests/test_cascaded.py::test_routing_flags_never_false_positive).
+    tests/test_routing.py::test_routing_flags_never_false_positive).
     """
     w = width_of(opts.type)
     e = opts.chunk_num_elements
