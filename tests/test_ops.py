@@ -202,3 +202,27 @@ def test_ops_vmap_and_jit(rng):
     outs, n_outs, _ = unpack(blobs)
     for b in range(8):
         np.testing.assert_array_equal(np.asarray(outs)[b, : ns[b]], xs[b, : ns[b]])
+
+
+def test_for_bitwidth_narrow_dtypes_under_jit(rng):
+    """Regression (round 5, caught on hardware): signed int8/int16
+    where+min/max REDUCTIONS miscompile under jit in jax 0.9.0 (garbage
+    extrema, eager correct), silently turning compressible SHORT/CHAR
+    partitions into raw fallbacks.  for_bitwidth must therefore reduce at
+    >= 32-bit width; this pins jit == eager == numpy at the shape that
+    reproduced the miscompile (2048 elements, n = 2047)."""
+    import jax
+
+    for np_dt in (np.uint8, np.uint16, np.uint32):
+        bits_n = np.dtype(np_dt).itemsize * 8
+        x = rng.integers(0, 2**bits_n, 2048, dtype=np.uint64).astype(np_dt)
+        n = jnp.int32(2047)
+        xe = jnp.asarray(x)
+        f_e, bw_e = bp.for_bitwidth(xe, n)
+        f_j, bw_j = jax.jit(bp.for_bitwidth)(xe, n)
+        assert int(bw_e) == int(bw_j), np_dt
+        assert int(f_e) == int(f_j), np_dt
+        # numpy ground truth
+        s = x[:2047].astype(np.dtype(np_dt).str.replace("u", "i"))
+        rng_v = (int(s.max()) - int(s.min())) & 0xFFFFFFFF
+        assert int(bw_e) == int(rng_v).bit_length(), np_dt

@@ -50,7 +50,16 @@ def for_bitwidth(x, n):
     """
     width = jnp.iinfo(x.dtype).bits // 8
     sdtype = bits.signed_of_width(width)
-    xs = bits.bitcast(x, sdtype)
+    wide_s = jnp.int32 if width <= 4 else jnp.int64
+    wide_u = jnp.uint32 if width <= 4 else jnp.uint64
+    # The min/max REDUCTIONS must run at >= 32-bit width: signed int8/int16
+    # where+min/max reductions MISCOMPILE under jit in this jax/XLA build
+    # (0.9.0) -- jit returns garbage extrema while eager is correct, CPU and
+    # TPU alike (caught by the round-5 hardware sweep as a silent
+    # fallback-instead-of-compress on SHORT data; regression test
+    # tests/test_ops.py::test_for_bitwidth_narrow_dtypes_under_jit).
+    # Sentinels stay at the ELEMENT-width extrema so semantics are unchanged.
+    xs = bits.bitcast(x, sdtype).astype(wide_s)
     i = jnp.arange(x.shape[-1], dtype=jnp.int32)
     valid = i < n
     big = jnp.iinfo(sdtype).max
@@ -59,15 +68,13 @@ def for_bitwidth(x, n):
     maximum = jnp.max(jnp.where(valid, xs, small))
     # range in 32-bit wrapping math for W <= 4, 64-bit for W == 8
     # (reference src/CascadedKernels.hiph:459-469)
-    wide_s = jnp.int32 if width <= 4 else jnp.int64
-    wide_u = jnp.uint32 if width <= 4 else jnp.uint64
-    rng = bits.bitcast(maximum.astype(wide_s), wide_u) - bits.bitcast(
-        minimum.astype(wide_s), wide_u
-    )
+    rng = bits.bitcast(maximum, wide_u) - bits.bitcast(minimum, wide_u)
     bw = bits.bit_width(rng)
     # n == 0 is UB in the reference (uninitialized BlockReduce); define it
     # deterministically as FOR = 0, bitwidth = 0.
-    frame = jnp.where(n > 0, bits.bitcast(minimum, x.dtype), 0).astype(x.dtype)
+    frame = jnp.where(
+        n > 0, bits.bitcast(minimum.astype(sdtype), x.dtype), 0
+    ).astype(x.dtype)
     bw = jnp.where(n > 0, bw, 0)
     return frame, bw
 
